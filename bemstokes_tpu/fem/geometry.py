@@ -1,0 +1,105 @@
+"""Mapped panel geometry: the array-first replacement for deal.II
+MappingFEField + FEValues (reference `source/bem_stokes.cc:1850-1851`,
+`:2845-2856`).
+
+Geometry state is a single node-position array `euler[n_map_nodes, dim]`
+(the reference's component-blocked "euler vector" reshaped).  Everything a
+quadrature loop needs — mapped points, unit normals, JxW — is a couple of
+einsum contractions of precomputed reference-element tables with the gathered
+per-cell node positions, so the whole geometry pipeline is jittable and
+differentiates/vectorizes for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .reference_element import reference_element
+from ..mesh.dofs import ScalarSpace
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadratureTables:
+    """Static (host-precomputed) tables for one reference quadrature rule and
+    a pair of (mapping, field) elements evaluated on it."""
+
+    points: np.ndarray  # [nq, cell_dim]
+    weights: np.ndarray  # [nq]
+    phi_map: np.ndarray  # [nq, nl_map] mapping shape values
+    dphi_map: np.ndarray  # [nq, nl_map, cell_dim] mapping shape gradients
+    phi_fe: np.ndarray  # [nq, nl_fe] field shape values
+
+
+def make_tables(
+    cell_dim: int, map_degree: int, fe_degree: int, points: np.ndarray, weights: np.ndarray
+) -> QuadratureTables:
+    me = reference_element(cell_dim, map_degree)
+    fe = reference_element(cell_dim, fe_degree)
+    return QuadratureTables(
+        points=np.asarray(points, dtype=np.float64),
+        weights=np.asarray(weights, dtype=np.float64),
+        phi_map=me.shape_values(points),
+        dphi_map=me.shape_grads(points),
+        phi_fe=fe.shape_values(points),
+    )
+
+
+@partial(jax.jit, static_argnames=("ambient_dim",))
+def panel_geometry(
+    euler_cells: jnp.ndarray,  # [Nc, nl_map, dim] gathered node positions
+    phi_map: jnp.ndarray,  # [nq, nl_map]
+    dphi_map: jnp.ndarray,  # [nq, nl_map, cell_dim]
+    weights: jnp.ndarray,  # [nq]
+    flip_sign: jnp.ndarray,  # [Nc] +-1.0
+    ambient_dim: int = 3,
+):
+    """Returns (xq [Nc, nq, dim], normals [Nc, nq, dim], jxw [Nc, nq]).
+
+    Normals follow the parametric orientation (t_u x t_v in 3D; the left
+    rotation of the tangent in 2D), times flip_sign."""
+    xq = jnp.einsum("ql,cld->cqd", phi_map, euler_cells)
+    J = jnp.einsum("qlk,cld->cqdk", dphi_map, euler_cells)
+    if ambient_dim == 3:
+        t_u, t_v = J[..., 0], J[..., 1]
+        nrm = jnp.cross(t_u, t_v)
+    else:
+        t = J[..., 0]
+        nrm = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+    jac = jnp.linalg.norm(nrm, axis=-1)
+    normals = nrm / jac[..., None] * flip_sign[:, None, None]
+    jxw = jac * weights[None, :]
+    return xq, normals, jxw
+
+
+def support_points(
+    euler: jnp.ndarray,  # [n_map_nodes, dim]
+    map_space: ScalarSpace,
+    fe_space: ScalarSpace,
+) -> jnp.ndarray:
+    """Positions of the field-space nodes under the current mapping
+    [n_fe_nodes, dim] (deal.II map_dofs_to_support_points).
+
+    Each FE node can be seen from several cells; for a continuous mapping all
+    agree, so a scatter-mean is exact."""
+    me = reference_element(map_space.cell_dim, map_space.degree)
+    phi = jnp.asarray(me.shape_values(fe_space.unit_support_points))  # [nl_fe, nl_map]
+    cell_pos = jnp.einsum(
+        "lm,cmd->cld", phi, euler[map_space.cells_nodes]
+    )  # [Nc, nl_fe, dim]
+    dim = euler.shape[1]
+    n = fe_space.n_nodes
+    idx = jnp.asarray(fe_space.cells_nodes.ravel())
+    pos = jnp.zeros((n, dim), euler.dtype).at[idx].add(cell_pos.reshape(-1, dim))
+    cnt = jnp.zeros((n, 1), euler.dtype).at[idx].add(1.0)
+    return pos / cnt
+
+
+def euler_from_mesh(mesh_vertices: np.ndarray, map_space: ScalarSpace) -> np.ndarray:
+    """Initial euler vector (node positions) from raw mesh vertices
+    (VectorTools::get_position_vector equivalent)."""
+    return map_space.node_positions(mesh_vertices)

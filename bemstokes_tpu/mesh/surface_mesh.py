@@ -1,0 +1,90 @@
+"""Codim-1 surface meshes as plain numpy arrays.
+
+The reference stores geometry in a deal.II `Triangulation<dim-1, dim>` with
+per-cell material ids encoding boundary-condition type (reference
+`source/bem_stokes.cc:1202-1322`): 0 = swimmer body, 2 = no-slip wall,
+3 = free-surface wall, 4 = do-nothing wall, 5 = dirichlet wall,
+6 = neumann wall.  We keep the same material-id convention.
+
+Cells store vertex indices in *lexicographic* local order: for quads,
+(0,0), (1,0), (0,1), (1,1) — i.e. a counterclockwise quad (a, b, c, d)
+is stored as (a, b, d, c).  Line cells (2D problems) are (start, end).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+MATERIAL_BODY = 0
+MATERIAL_WALL_NO_SLIP = 2
+MATERIAL_WALL_FREE_SURFACE = 3
+MATERIAL_WALL_DO_NOTHING = 4
+MATERIAL_WALL_DIRICHLET = 5
+MATERIAL_WALL_NEUMANN = 6
+
+WALL_TYPE_TO_MATERIAL = {
+    "no_slip": MATERIAL_WALL_NO_SLIP,
+    "free_surface": MATERIAL_WALL_FREE_SURFACE,
+    "do_nothing": MATERIAL_WALL_DO_NOTHING,
+    "dirichlet": MATERIAL_WALL_DIRICHLET,
+    "neumann": MATERIAL_WALL_NEUMANN,
+}
+
+
+@dataclasses.dataclass
+class SurfaceMesh:
+    """A codim-1 mesh embedded in `dim`-dimensional space.
+
+    vertices: [Nv, dim] float64
+    cells:    [Nc, 2 or 4] int32, lexicographic local ordering
+    material_id: [Nc] int32
+    flip_normal: [Nc] bool — cells whose parametric normal must be reversed
+        (wall factories use this to aim wall normals into the fluid).
+    """
+
+    vertices: np.ndarray
+    cells: np.ndarray
+    material_id: np.ndarray
+    flip_normal: np.ndarray | None = None
+
+    def __post_init__(self):
+        self.vertices = np.asarray(self.vertices, dtype=np.float64)
+        self.cells = np.asarray(self.cells, dtype=np.int32)
+        if self.material_id is None:
+            self.material_id = np.zeros(len(self.cells), dtype=np.int32)
+        self.material_id = np.asarray(self.material_id, dtype=np.int32)
+        if self.flip_normal is None:
+            self.flip_normal = np.zeros(len(self.cells), dtype=bool)
+
+    @property
+    def dim(self) -> int:
+        return self.vertices.shape[1]
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.vertices)
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.cells)
+
+    def merged_with(self, other: "SurfaceMesh", tol: float = 1e-12) -> "SurfaceMesh":
+        """Concatenate two meshes, welding coincident vertices."""
+        assert self.dim == other.dim
+        verts = np.concatenate([self.vertices, other.vertices])
+        cells = np.concatenate([self.cells, other.cells + self.n_vertices])
+        mat = np.concatenate([self.material_id, other.material_id])
+        flip = np.concatenate([self.flip_normal, other.flip_normal])
+        # weld duplicate vertices
+        rounded = np.round(verts / max(tol, 1e-300)).astype(np.int64)
+        _, first, inverse = np.unique(
+            rounded, axis=0, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        new_cells = rank[inverse[cells]]
+        new_verts = verts[first[order]]
+        return SurfaceMesh(new_verts, new_cells, mat, flip)
