@@ -1,0 +1,75 @@
+"""Configuration tree — the dataclass replacement for the reference's
+deal2lkit `.prm` parameter system (reference `declare_parameters`,
+`source/bem_stokes.cc:208-494`).  Field names track the reference parameters;
+defaults match the reference's declared defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class WallConfig:
+    enabled: bool = False
+    wall_type: str = "no_slip"  # no_slip|free_surface|do_nothing|dirichlet|neumann
+    position: tuple = (0.0, 5.0, 0.0)
+    span: tuple = (10.0, 0.0, 10.0)  # 0 entry = wall-normal axis; -1 = infinite
+    flip_normal: bool = False
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    tolerance: float = 1e-10
+    max_steps: int = 1000
+    gmres_restart: int = 100
+    preconditioner_type: str = "Direct"  # AMG|ILU|Jacobi|SOR|SSOR|Direct
+    solve_directly: bool = False
+    bandwith_preconditioner: bool = False
+    bandwith: int = 100
+    refactor_iteration_trigger: int = 100
+
+
+@dataclasses.dataclass
+class QuadratureConfig:
+    order: int = 4  # per-direction Gauss order on smooth panels
+    singular_order: int = 5
+    singular_type: str = "Mixed"  # Mixed|Duffy|Telles
+
+
+@dataclasses.dataclass
+class ProblemConfig:
+    dim: int = 3
+    fe_degree: int = 1
+    map_degree: int = 1
+    n_frames: int = 120
+    delta_frame: int = 1
+    time_step: float = 0.1
+    grid_type: str = "Real"  # Real|ImposedForce|Cube|Convergence|ImposedVelocity
+    velocity_type: str = "FiniteDifference"  # FiniteDifference|Squirmer
+    force_pole: str = "Origin"  # Baricenter|Origin|Point
+    force_arbitrary_point: tuple = (1.0, 0.0, 0.0)
+    imposed_component: int = 1
+    assemble_scaling: float = 1.0
+    monolithic: bool = True
+    use_internal_alpha: bool = False
+    consider_rigid_rotations: bool = True
+    consider_rigid_displacements: bool = False
+    rigid_displacement_axes: tuple = (False, False, False)
+    time_integration: str = "Forward"  # Forward|Heun
+    initial_quaternion: tuple = (1.0, 0.0, 0.0, 0.0)
+    reflect_kernel: bool = False  # free-surface image kernel
+    no_slip_kernel: bool = False  # Blake image kernel
+    solve_with_torque: bool = False
+    input_grid_path: str = "../debug_grids/"
+    input_grid_base_name: str = "sphere_mesh_3d_"
+    input_grid_format: str = "msh"
+    quadrature: QuadratureConfig = dataclasses.field(default_factory=QuadratureConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    walls: tuple = dataclasses.field(default_factory=tuple)  # of WallConfig
+    create_box: bool = False
+    first_index_box: int = 0
+    # numerics
+    dtype: str = "float64"
+    row_tile: int = 32
+    cell_chunk: int = 256

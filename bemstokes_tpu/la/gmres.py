@@ -1,0 +1,131 @@
+"""Jitted restarted GMRES with Givens rotations and right preconditioning —
+the solve layer of the framework (the reference delegates to deal.II
+SolverGMRES over Trilinos vectors, `source/bem_stokes.cc:4270-4340`; here the
+Arnoldi loop is a lax.scan compiled by XLA, so each iteration is one fused
+matvec + orthogonalization on device).
+
+matvec and precond are arbitrary callables (dense GEMV, implicit monolithic
+operator, or sharded shard_map matvec), so the same routine serves the
+single-chip and the row-sharded multi-chip paths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _identity(x):
+    return x
+
+
+def gmres(
+    matvec,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    precond=None,
+    restart: int = 100,
+    tol: float = 1e-10,
+    max_restarts: int = 10,
+):
+    """Solve A x = b. Returns (x, info) with info = dict(residual, iterations).
+
+    Right-preconditioned: solves A M^-1 y = b, x = M^-1 y, so the residual
+    is the true residual.  Fixed-shape Arnoldi basis of size restart+1 per
+    cycle; early convergence masks further work instead of exiting (static
+    shapes for XLA).
+    """
+    if precond is None:
+        precond = _identity
+    n = b.shape[0]
+    dt = b.dtype
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    m = restart
+    b_norm = jnp.linalg.norm(b)
+    atol = tol * jnp.where(b_norm == 0, 1.0, b_norm)
+
+    def arnoldi_cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dt)
+        H = jnp.zeros((m + 1, m), dt)
+        # not-yet-defined rotations must act as identity (c=1, s=0)
+        cs = jnp.ones((m,), dt)
+        sn = jnp.zeros((m,), dt)
+        g = jnp.zeros((m + 1,), dt).at[0].set(beta)
+        V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
+
+        def step(carry, j):
+            V, H, cs, sn, g, done = carry
+            w = matvec(precond(V[j]))
+            # modified Gram-Schmidt against all basis vectors (masked)
+            mask = (jnp.arange(m + 1) <= j).astype(dt)
+
+            def mgs(w, i):
+                h = jnp.vdot(V[i], w) * mask[i]
+                return w - h * V[i], h
+
+            w, hcol = jax.lax.scan(mgs, w, jnp.arange(m + 1))
+            hj1 = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(hj1)
+            v_next = w / jnp.where(hj1 == 0, 1.0, hj1)
+            V2 = V.at[j + 1].set(v_next)
+
+            # apply accumulated Givens rotations to the new column
+            def rot(hc, i):
+                hi = hc[i] * cs[i] + hc[i + 1] * sn[i]
+                hi1 = -hc[i] * sn[i] + hc[i + 1] * cs[i]
+                hc = hc.at[i].set(hi).at[i + 1].set(hi1)
+                return hc, None
+
+            hcol, _ = jax.lax.scan(
+                rot, hcol, jnp.arange(m), unroll=False
+            )
+            # new rotation to zero hcol[j+1]
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            denom_s = jnp.where(denom == 0, 1.0, denom)
+            c_new = jnp.where(denom == 0, 1.0, hcol[j] / denom_s)
+            s_new = jnp.where(denom == 0, 0.0, hcol[j + 1] / denom_s)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            cs2 = cs.at[j].set(c_new)
+            sn2 = sn.at[j].set(s_new)
+            g2 = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
+
+            H2 = H.at[:, j].set(hcol)
+            # freeze state once converged (mask further updates)
+            new_done = jnp.abs(g2[j + 1]) < atol
+            keep = jnp.logical_not(done)
+            V = jnp.where(keep, V2, V)
+            H = jnp.where(keep, H2, H)
+            cs = jnp.where(keep, cs2, cs)
+            sn = jnp.where(keep, sn2, sn)
+            g = jnp.where(keep, g2, g)
+            iters = keep.astype(jnp.int32)
+            return (V, H, cs, sn, g, jnp.logical_or(done, new_done)), iters
+
+        (V, H, cs, sn, g, done), its = jax.lax.scan(
+            step, (V, H, cs, sn, g, beta < atol), jnp.arange(m)
+        )
+        k = jnp.sum(its)  # iterations actually performed this cycle
+
+        # back-substitution on the k x k system (masked full triangular solve)
+        mask = (jnp.arange(m) < k).astype(dt)
+        Hm = H[:m, :] * mask[None, :] * mask[:, None] + jnp.diag(1.0 - mask)
+        y = jax.scipy.linalg.solve_triangular(Hm, g[:m] * mask, lower=False)
+        dx = precond((y * mask) @ V[:m])
+        return x + dx, jnp.abs(g[k]), k
+
+    def cycle(carry, _):
+        x, total_it, res = carry
+        x, res, k = arnoldi_cycle(x)
+        return (x, (total_it + k).astype(jnp.int32), res), None
+
+    (x, iters, res), _ = jax.lax.scan(
+        cycle, (x0, jnp.int32(0), b_norm), None, length=max_restarts
+    )
+    return x, {"residual": res, "iterations": iters}

@@ -148,11 +148,20 @@ def read_vtk(path: str, dim: int = 3) -> SurfaceMesh:
     )
 
 
-def read_mesh(path: str, dim: int = 3) -> SurfaceMesh:
+def read_mesh(
+    path: str, dim: int = 3, force_material: int | None = None
+) -> SurfaceMesh:
+    """Read a mesh file; `force_material` overrides every cell's material id
+    (the reference resets the swimmer grid to body material 0 after reading,
+    `source/bem_stokes.cc:515-521` — walls add their own materials later)."""
     if path.endswith(".msh"):
-        return read_msh(path, dim)
-    if path.endswith(".inp"):
-        return read_inp(path, dim)
-    if path.endswith(".vtk"):
-        return read_vtk(path, dim)
-    raise ValueError(f"unsupported mesh format: {path}")
+        mesh = read_msh(path, dim)
+    elif path.endswith(".inp"):
+        mesh = read_inp(path, dim)
+    elif path.endswith(".vtk"):
+        mesh = read_vtk(path, dim)
+    else:
+        raise ValueError(f"unsupported mesh format: {path}")
+    if force_material is not None:
+        mesh.material_id[:] = force_material
+    return mesh

@@ -1,0 +1,413 @@
+"""Collocation assembly of the dense single-layer (V) and double-layer (K)
+operators — the numerical core (reference `assemble_stokes_system`,
+`source/bem_stokes.cc:2841-3000`), redesigned array-first for TPU.
+
+Layout: for a scalar space with n nodes in dim-d space, V and K are dense
+[d*n, d*n] with component-blocked indices (a*n + i, b*n + j), matching the
+reference's `i + c*N/dim` layout.
+
+Structure (instead of the reference's 5-deep element-at-a-time loops):
+
+- smooth path: tile the (collocation-node x panel-quadrature-point) plane;
+  each (row-tile, cell-chunk) step evaluates the Green's functions for the
+  whole tile at once and contracts over quadrature points with the tabulated
+  shape values — one einsum per chunk — then scatter-adds into the tile's
+  block rows at the cells' column nodes.  Pairs where the collocation node
+  belongs to the panel are masked out;
+- singular path: those masked pairs are perfectly uniform — every cell
+  contributes exactly nl (local-node) singular integrals, each with a fixed
+  per-local-node Duffy/Telles rule — so they batch into one dense
+  [Nc, nl, q_sing] evaluation and a single scatter (reference singular rules:
+  `source/bem_stokes.cc:4912-4986`).
+
+The default JAX path lets XLA fuse kernel evaluation with the contraction;
+`bemstokes_tpu.ops.pallas_assemble` provides the hand-fused Pallas variant of
+the inner tile computation with identical semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.geometry import panel_geometry
+from ..fem.quadrature import (
+    gauss_quad,
+    iterated_gauss_quad,
+    singular_rule_quad,
+    singular_rule_line,
+    gauss_1d,
+    iterated_gauss_1d,
+    telles_1d,
+)
+from ..fem.reference_element import reference_element
+from ..kernels import (
+    stokeslet_G,
+    stresslet_W,
+    free_surface_G,
+    free_surface_W,
+    no_slip_wall_G,
+    no_slip_wall_W,
+    image_point,
+)
+from ..mesh.dofs import ScalarSpace
+
+KERNEL_FREE_SPACE = "free_space"
+KERNEL_FREE_SURFACE = "free_surface"  # reference reflect_kernel=true
+KERNEL_NO_SLIP = "no_slip"  # reference no_slip_kernel=true
+
+
+@dataclasses.dataclass(frozen=True)
+class AssemblyConfig:
+    dim: int = 3
+    kernel: str = KERNEL_FREE_SPACE
+    wall_axis: int = 1
+    wall_position: float = 0.0
+    quad_order: int = 4  # per-direction Gauss order for smooth panels
+    singular_quadrature_order: int = 5
+    singular_quadrature_type: str = "Mixed"  # Mixed | Duffy | Telles
+    row_tile: int = 32  # collocation nodes per tile
+    cell_chunk: int = 256  # panels per inner chunk
+    dtype: jnp.dtype = jnp.float64
+
+
+@dataclasses.dataclass(frozen=True)
+class AssemblyTables:
+    """Host-precomputed static tables binding a (field space, map space) pair
+    to an AssemblyConfig. All arrays are numpy; jitted code closes over them
+    as constants."""
+
+    cfg: AssemblyConfig
+    n_nodes: int
+    nl_fe: int
+    nl_map: int
+    cells_nodes_fe: np.ndarray  # [Nc, nl_fe]
+    cells_nodes_map: np.ndarray  # [Nc, nl_map]
+    flip_sign: np.ndarray  # [Nc]
+    # smooth rule
+    q_weights: np.ndarray  # [nq]
+    phi_map: np.ndarray  # [nq, nl_map]
+    dphi_map: np.ndarray  # [nq, nl_map, cdim]
+    phi_fe: np.ndarray  # [nq, nl_fe]
+    # singular rules, one per local FE node, padded to a common length
+    sq_weights: np.ndarray  # [nl_fe, qs]
+    sphi_map: np.ndarray  # [nl_fe, qs, nl_map]
+    sdphi_map: np.ndarray  # [nl_fe, qs, nl_map, cdim]
+    sphi_fe: np.ndarray  # [nl_fe, qs, nl_fe]
+
+
+def _singular_rules(cfg: AssemblyConfig, fe_degree: int, unit_sp: np.ndarray):
+    """Per-local-support-point singular rules, padded to uniform length.
+
+    Mirrors the reference's selection (`source/bem_stokes.cc:4929-4986`):
+    3D "Duffy" -> Duffy split at the support point; "Mixed" -> singular
+    treatment for degree 1, iterated Gauss for higher degree; "Telles" ->
+    tensor Telles.  2D: Telles for degree 1, iterated Gauss otherwise.
+    """
+    cdim = unit_sp.shape[1]
+    rules = []
+    for sp in unit_sp:
+        if cdim == 2:
+            kind = cfg.singular_quadrature_type
+            if kind == "Telles":
+                pts, wts = singular_rule_quad(
+                    cfg.singular_quadrature_order, sp, kind="telles"
+                )
+            elif kind == "Mixed" and fe_degree > 1:
+                pts, wts = iterated_gauss_quad(
+                    cfg.singular_quadrature_order, max(fe_degree, 1)
+                )
+            else:  # Duffy, or Mixed at degree <= 1
+                pts, wts = singular_rule_quad(
+                    cfg.singular_quadrature_order, sp, kind="duffy"
+                )
+        else:
+            if fe_degree > 1:
+                x, w = iterated_gauss_1d(cfg.singular_quadrature_order, fe_degree)
+                pts, wts = x[:, None], w
+            else:
+                pts, wts = singular_rule_line(cfg.singular_quadrature_order, sp)
+        rules.append((pts, wts))
+    qs = max(len(w) for _, w in rules)
+    # pad with zero-weight points at the cell center
+    center = np.full((cdim,), 0.5)
+    pad_pts = np.stack(
+        [
+            np.concatenate([p, np.tile(center, (qs - len(w), 1))])
+            for p, w in rules
+        ]
+    )
+    pad_wts = np.stack(
+        [np.concatenate([w, np.zeros(qs - len(w))]) for _, w in rules]
+    )
+    return pad_pts, pad_wts  # [nl_fe, qs, cdim], [nl_fe, qs]
+
+
+def build_assembly_tables(
+    fe_space: ScalarSpace, map_space: ScalarSpace, cfg: AssemblyConfig
+) -> AssemblyTables:
+    cdim = fe_space.cell_dim
+    fe = reference_element(cdim, fe_space.degree)
+    me = reference_element(cdim, map_space.degree)
+    if cdim == 2:
+        q_pts, q_wts = gauss_quad(cfg.quad_order)
+    else:
+        x, w = gauss_1d(cfg.quad_order)
+        q_pts, q_wts = x[:, None], w
+
+    s_pts, s_wts = _singular_rules(cfg, fe_space.degree, fe_space.unit_support_points)
+
+    mesh = fe_space.mesh
+    flip = np.where(mesh.flip_normal, -1.0, 1.0)
+    return AssemblyTables(
+        cfg=cfg,
+        n_nodes=fe_space.n_nodes,
+        nl_fe=fe_space.nl,
+        nl_map=map_space.nl,
+        cells_nodes_fe=np.asarray(fe_space.cells_nodes, dtype=np.int32),
+        cells_nodes_map=np.asarray(map_space.cells_nodes, dtype=np.int32),
+        flip_sign=flip,
+        q_weights=q_wts,
+        phi_map=me.shape_values(q_pts),
+        dphi_map=me.shape_grads(q_pts),
+        phi_fe=fe.shape_values(q_pts),
+        sq_weights=s_wts,
+        sphi_map=me.shape_values(s_pts),
+        sdphi_map=me.shape_grads(s_pts),
+        sphi_fe=fe.shape_values(s_pts),
+    )
+
+
+def _eval_G_W(cfg: AssemblyConfig, R, R_img):
+    """Kernel dispatch (reference compute_G_kernel / compute_W_kernel,
+    `source/bem_stokes.cc:5028-5073`)."""
+    if cfg.kernel == KERNEL_FREE_SPACE:
+        return stokeslet_G(R), stresslet_W(R)
+    if cfg.kernel == KERNEL_FREE_SURFACE:
+        return (
+            free_surface_G(R, R_img, cfg.wall_axis),
+            free_surface_W(R, R_img, cfg.wall_axis),
+        )
+    if cfg.kernel == KERNEL_NO_SLIP:
+        return (
+            no_slip_wall_G(R, R_img, cfg.wall_axis),
+            no_slip_wall_W(R, R_img, cfg.wall_axis),
+        )
+    raise ValueError(cfg.kernel)
+
+
+def _pad_to_multiple(arr, m, axis, pad_value=0):
+    size = arr.shape[axis]
+    rem = (-size) % m
+    if rem == 0:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(arr, pad, constant_values=pad_value)
+
+
+def assemble_V_K(
+    euler: jnp.ndarray,  # [n_map_nodes, d]
+    support_pts: jnp.ndarray,  # [n, d] FE node positions under the mapping
+    tables: AssemblyTables,
+    row_range: tuple[int, int] | None = None,
+):
+    """Assemble dense V and K.  Returns (V, K) of shape [d*nr, d*n] where nr
+    is the number of collocation rows assembled (all nodes, or a contiguous
+    [row_start, row_end) slice for sharded assembly).
+
+    Jit-compatible: `euler` and `support_pts` are traced; all tables are
+    static constants.
+    """
+    cfg = tables.cfg
+    d = cfg.dim
+    n = tables.n_nodes
+    dt = cfg.dtype
+    euler = euler.astype(dt)
+    support_pts = support_pts.astype(dt)
+
+    cells_map = jnp.asarray(tables.cells_nodes_map)
+    cells_fe = jnp.asarray(tables.cells_nodes_fe)
+    Nc = tables.cells_nodes_fe.shape[0]
+    nl = tables.nl_fe
+
+    # ---- smooth panel geometry ----
+    xq, normals, jxw = panel_geometry(
+        euler[cells_map],
+        jnp.asarray(tables.phi_map, dt),
+        jnp.asarray(tables.dphi_map, dt),
+        jnp.asarray(tables.q_weights, dt),
+        jnp.asarray(tables.flip_sign, dt),
+        ambient_dim=d,
+    )  # [Nc, nq, d], [Nc, nq, d], [Nc, nq]
+    phi_fe = jnp.asarray(tables.phi_fe, dt)  # [nq, nl]
+
+    if row_range is None:
+        row_range = (0, n)
+    r0, r1 = row_range
+    nr = r1 - r0
+    node_ids = jnp.arange(r0, r1, dtype=jnp.int32)
+    xi = support_pts[r0:r1]  # [nr, d]
+
+    tile = cfg.row_tile
+    xi_p = _pad_to_multiple(xi, tile, 0)
+    ids_p = _pad_to_multiple(node_ids, tile, 0, pad_value=-1)
+    n_tiles = xi_p.shape[0] // tile
+
+    cc = min(cfg.cell_chunk, Nc)
+    # pad panels with far-away points so padded pairs stay finite (their
+    # JxW pads to zero, but 0 * inf would poison the contraction with NaNs)
+    xq_p = _pad_to_multiple(xq, cc, 0, pad_value=1e8)
+    nrm_p = _pad_to_multiple(normals, cc, 0)
+    jxw_p = _pad_to_multiple(jxw, cc, 0)  # zero weights on padded cells
+    cfe_p = _pad_to_multiple(cells_fe, cc, 0, pad_value=-1)
+    n_chunks = xq_p.shape[0] // cc
+    nq = xq.shape[1]
+
+    xq_c = xq_p.reshape(n_chunks, cc, nq, d)
+    nrm_c = nrm_p.reshape(n_chunks, cc, nq, d)
+    jxw_c = jxw_p.reshape(n_chunks, cc, nq)
+    cfe_c = cfe_p.reshape(n_chunks, cc, nl)
+
+    def tile_rows(xi_t, ids_t):
+        """Assemble [tile*d, n*d] block rows for one collocation tile."""
+
+        def chunk_step(carry, inp):
+            rowV, rowK = carry
+            xqc, nrmc, jxwc, colsc = inp
+            # mask panels that carry this collocation node (singular pairs)
+            sing = jnp.any(
+                ids_t[:, None, None] == colsc[None, :, :], axis=-1
+            )  # [t, cc]
+            R = xqc[None, :, :, :] - xi_t[:, None, None, :]  # [t, cc, nq, d]
+            # masked pairs can hit R == 0 exactly (e.g. Q2 center node vs an
+            # odd-order Gauss point); substitute a dummy offset so the kernel
+            # stays finite — their weight is zeroed below anyway
+            R = jnp.where(sing[:, :, None, None], jnp.ones_like(R), R)
+            if cfg.kernel == KERNEL_FREE_SPACE:
+                R_img = R
+            else:
+                xi_img = image_point(xi_t, cfg.wall_axis, cfg.wall_position)
+                R_img = xqc[None, :, :, :] - xi_img[:, None, None, :]
+                R_img = jnp.where(sing[:, :, None, None], jnp.ones_like(R_img), R_img)
+            G, W = _eval_G_W(cfg, R, R_img)  # [t,cc,nq,d,d], [t,cc,nq,d,d,d]
+            Wn = jnp.einsum("tcqabk,cqk->tcqab", W, nrmc)
+            w = jxwc[None, :, :] * (~sing)[:, :, None].astype(dt)
+            # local blocks: [t, a, b, cc, nl]
+            Vloc = jnp.einsum("tcqab,tcq,ql->tabcl", G, w, phi_fe)
+            # minus sign: exterior problem (reference `:2941-2947`)
+            Kloc = -jnp.einsum("tcqab,tcq,ql->tabcl", Wn, w, phi_fe)
+            # scatter columns: col j = b*n + colsc
+            colidx = (
+                jnp.arange(d, dtype=jnp.int32)[:, None, None] * n
+                + colsc[None, :, :]
+            ).reshape(-1)  # [d*cc*nl]
+            Vblk = Vloc.reshape(tile, d, d * cc * nl)
+            Kblk = Kloc.reshape(tile, d, d * cc * nl)
+            rowV = rowV.at[:, :, colidx].add(Vblk)
+            rowK = rowK.at[:, :, colidx].add(Kblk)
+            return (rowV, rowK), None
+
+        init = (
+            jnp.zeros((tile, d, d * n), dt),
+            jnp.zeros((tile, d, d * n), dt),
+        )
+        (rowV, rowK), _ = jax.lax.scan(
+            chunk_step, init, (xq_c, nrm_c, jxw_c, cfe_c)
+        )
+        return rowV, rowK
+
+    xi_tiles = xi_p.reshape(n_tiles, tile, d)
+    ids_tiles = ids_p.reshape(n_tiles, tile)
+    rowsV, rowsK = jax.lax.map(lambda t: tile_rows(*t), (xi_tiles, ids_tiles))
+    # [n_tiles, tile, d, d*n] -> [d, nr, d*n] -> [d*nr, d*n]
+    rowsV = rowsV.reshape(n_tiles * tile, d, d * n)[:nr].transpose(1, 0, 2)
+    rowsK = rowsK.reshape(n_tiles * tile, d, d * n)[:nr].transpose(1, 0, 2)
+    V = rowsV.reshape(d * nr, d * n)
+    K = rowsK.reshape(d * nr, d * n)
+
+    # ---- singular path (rows sliced to this shard's range) ----
+    Vs, Ks = _singular_contributions(euler, support_pts, tables)
+    V, K = _add_singular(V, K, Vs, Ks, r0, nr, n, d)
+    return V, K
+
+
+def _add_singular(V, K, Vs, Ks, r0, nr, n, d):
+    """Vs/Ks come back as dense [d*n, d*n] global matrices (cheap: built by
+    one scatter); slice their rows into the local row block."""
+    rows = (
+        jnp.arange(d)[:, None] * n + (r0 + jnp.arange(nr))[None, :]
+    ).reshape(-1)
+    return V + Vs[rows], K + Ks[rows]
+
+
+def _singular_contributions(euler, support_pts, tables: AssemblyTables):
+    """Batched singular-pair integrals: for every (cell c, local node l) the
+    collocation point is the cell's own node and the rule is the precomputed
+    per-local-node singular rule. Returns dense [d*n, d*n] scatter results."""
+    cfg = tables.cfg
+    d = cfg.dim
+    n = tables.n_nodes
+    dt = cfg.dtype
+    cells_map = jnp.asarray(tables.cells_nodes_map)
+    cells_fe = jnp.asarray(tables.cells_nodes_fe)
+    Nc, nl = tables.cells_nodes_fe.shape
+    qs = tables.sq_weights.shape[1]
+
+    euler_cells = euler[cells_map]  # [Nc, nlm, d]
+    sphi_map = jnp.asarray(tables.sphi_map, dt)  # [nl, qs, nlm]
+    sdphi_map = jnp.asarray(tables.sdphi_map, dt)  # [nl, qs, nlm, cdim]
+    sq_w = jnp.asarray(tables.sq_weights, dt)  # [nl, qs]
+    sphi_fe = jnp.asarray(tables.sphi_fe, dt)  # [nl, qs, nl]
+
+    xq = jnp.einsum("lqm,cmd->clqd", sphi_map, euler_cells)  # [Nc, nl, qs, d]
+    J = jnp.einsum("lqmk,cmd->clqdk", sdphi_map, euler_cells)
+    if d == 3:
+        nrm = jnp.cross(J[..., 0], J[..., 1])
+    else:
+        t = J[..., 0]
+        nrm = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+    jac = jnp.linalg.norm(nrm, axis=-1)
+    flip = jnp.asarray(tables.flip_sign, dt)[:, None, None]
+    normals = nrm / jac[..., None] * flip[..., None]
+    jxw = jac * sq_w[None, :, :]  # [Nc, nl, qs]
+
+    xi = support_pts[cells_fe]  # [Nc, nl, d] collocation points
+    R = xq - xi[:, :, None, :]
+    # zero-weight padding points sit at the cell center, which coincides with
+    # the center collocation node for Q2 — substitute a finite dummy offset
+    wz = (jxw == 0)[..., None]
+    R = jnp.where(wz, jnp.ones_like(R), R)
+    if cfg.kernel == KERNEL_FREE_SPACE:
+        R_img = R
+    else:
+        xi_img = image_point(xi, cfg.wall_axis, cfg.wall_position)
+        R_img = jnp.where(wz, jnp.ones_like(R), xq - xi_img[:, :, None, :])
+    G, W = _eval_G_W(cfg, R, R_img)  # [Nc, nl, qs, d, d(,d)]
+    Wn = jnp.einsum("clqabk,clqk->clqab", W, normals)
+
+    Vloc = jnp.einsum("clqab,clq,lqm->clabm", G, jxw, sphi_fe)
+    Kloc = -jnp.einsum("clqab,clq,lqm->clabm", Wn, jxw, sphi_fe)
+
+    # scatter: row (a, cells_fe[c, l]); col (b, cells_fe[c, m])
+    row_idx = (
+        jnp.arange(d, dtype=jnp.int32)[None, None, :] * n
+        + cells_fe[:, :, None]
+    )  # [Nc, nl, d]
+    col_idx = (
+        jnp.arange(d, dtype=jnp.int32)[None, :, None] * n
+        + cells_fe[:, None, :]
+    )  # [Nc, d, nl(m)]
+    ri = jnp.broadcast_to(
+        row_idx[:, :, :, None, None], (Nc, nl, d, d, nl)
+    ).reshape(-1)
+    ci = jnp.broadcast_to(
+        col_idx[:, None, None, :, :], (Nc, nl, d, d, nl)
+    ).reshape(-1)
+    Vs = jnp.zeros((d * n, d * n), dt).at[ri, ci].add(Vloc.reshape(-1))
+    Ks = jnp.zeros((d * n, d * n), dt).at[ri, ci].add(Kloc.reshape(-1))
+    return Vs, Ks

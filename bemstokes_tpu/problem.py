@@ -1,0 +1,279 @@
+"""StokesBEMProblem: the orchestrator (the reference's `BEMProblem<dim>`,
+`include/bem_stokes.h:107-660`), reorganized as host-side setup plus jitted
+compute stages.
+
+The per-frame pipeline (reference `run`, `source/bem_stokes.cc:5636-5884`):
+
+  euler(frame), euler(frame+1)
+    -> rigid modes + center of mass        (physics.rigid)
+    -> L2 normal vector                    (physics.rigid.normal_vector_l2)
+    -> shape velocities (FD or squirmer)   (project_shape_velocities)
+    -> assemble V, K + corrections        (ops.assemble / ops.corrections)
+    -> monolithic system + solve          (ops.monolithic / la)
+    -> rigid velocity update, kinematics   (physics.kinematics)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ProblemConfig
+from .fem.geometry import support_points
+from .mesh import SurfaceMesh, build_scalar_space, read_mesh
+from .mesh.surface_mesh import MATERIAL_BODY
+from .ops.assemble import (
+    AssemblyConfig,
+    build_assembly_tables,
+    assemble_V_K,
+    KERNEL_FREE_SPACE,
+    KERNEL_FREE_SURFACE,
+    KERNEL_NO_SLIP,
+)
+from .ops.corrections import (
+    tangential_projector,
+    v_nullspace_correction,
+    k_solid_angle_correction,
+)
+from .ops.monolithic import (
+    operator_column_mask,
+    build_monolithic_system,
+    split_monolithic_solution,
+)
+from .la.gmres import gmres
+from .la.direct import LUPreconditioner, lu_factor_dense, lu_solve_dense
+from .physics.rigid import (
+    build_mass_operator,
+    surface_mass_and_com,
+    rigid_modes,
+    normal_vector_l2,
+    flatten,
+    unflatten,
+)
+
+
+def _dtype_of(cfg: ProblemConfig):
+    return jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+
+class StokesBEMProblem:
+    """Host-side orchestration for one mesh topology.
+
+    The mesh topology (connectivity, spaces, quadrature tables) is fixed at
+    construction; geometry (the euler node-position array) changes per frame
+    and is a traced input to the jitted stages — so the frame loop reuses one
+    compiled executable per stage.
+    """
+
+    def __init__(self, mesh: SurfaceMesh, config: ProblemConfig | None = None):
+        self.cfg = config or ProblemConfig()
+        self.mesh = mesh
+        self.dim = mesh.dim
+        self.fe_space = build_scalar_space(mesh, self.cfg.fe_degree)
+        self.map_space = build_scalar_space(mesh, self.cfg.map_degree)
+        self.n = self.fe_space.n_nodes
+        self.num_rigid = 2 * self.dim if self.dim == 3 else self.dim + 1
+
+        kernel = KERNEL_FREE_SPACE
+        wall_axis, wall_position = 1, 0.0
+        if self.cfg.reflect_kernel or self.cfg.no_slip_kernel:
+            kernel = (
+                KERNEL_FREE_SURFACE if self.cfg.reflect_kernel else KERNEL_NO_SLIP
+            )
+            # wall 0 defines the image plane (reference `:2861-2870`)
+            if self.cfg.walls:
+                w0 = self.cfg.walls[0]
+                wall_axis = int(np.argmin(np.abs(np.asarray(w0.span))))
+                wall_position = float(w0.position[wall_axis])
+
+        self.asm_cfg = AssemblyConfig(
+            dim=self.dim,
+            kernel=kernel,
+            wall_axis=wall_axis,
+            wall_position=wall_position,
+            quad_order=self.cfg.quadrature.order,
+            singular_quadrature_order=self.cfg.quadrature.singular_order,
+            singular_quadrature_type=self.cfg.quadrature.singular_type,
+            row_tile=self.cfg.row_tile,
+            cell_chunk=self.cfg.cell_chunk,
+            dtype=_dtype_of(self.cfg),
+        )
+        self.tables = build_assembly_tables(self.fe_space, self.map_space, self.asm_cfg)
+
+        # per-node material: a node takes the body material if any adjacent
+        # cell is body, else the (first) wall material of its cells
+        node_mat = np.full(self.n, np.iinfo(np.int32).max, dtype=np.int64)
+        np.minimum.at(
+            node_mat,
+            self.fe_space.cells_nodes.ravel(),
+            np.repeat(self.mesh.material_id, self.fe_space.nl),
+        )
+        self.node_material = node_mat.astype(np.int32)
+        self.body_node_mask = (self.node_material == MATERIAL_BODY).astype(
+            np.float64
+        )
+        self.body_cell_mask = (self.mesh.material_id == MATERIAL_BODY).astype(
+            np.float64
+        )
+
+        self.preconditioner = LUPreconditioner(
+            self.cfg.solver.refactor_iteration_trigger
+        )
+        self._jit_pipeline = jax.jit(self._pipeline)
+
+    # ------------------------------------------------------------------
+    def initial_euler(self) -> jnp.ndarray:
+        from .fem.geometry import euler_from_mesh
+
+        return jnp.asarray(euler_from_mesh(self.mesh.vertices, self.map_space))
+
+    def force_pole_point(self, com_body):
+        if self.cfg.force_pole == "Baricenter":
+            return com_body
+        if self.cfg.force_pole == "Point":
+            return jnp.asarray(
+                self.cfg.force_arbitrary_point, dtype=com_body.dtype
+            )
+        return jnp.zeros_like(com_body)
+
+    # ------------------------------------------------------------------
+    def _pipeline(self, euler, shape_velocities_flat):
+        """Jitted: geometry -> operators -> monolithic system.  Returns the
+        system plus diagnostics. shape_velocities_flat is the component-
+        blocked [d*n] projected gait velocity."""
+        cfg = self.cfg
+        d = self.dim
+        n = self.n
+        dt = self.asm_cfg.dtype
+        euler = euler.astype(dt)
+
+        mass_op, (xq, normals_q, jxw) = build_mass_operator(euler, self.tables)
+        body_mask_nodes = jnp.asarray(self.body_node_mask, dt)
+        body_mask_cells = jnp.asarray(self.body_cell_mask, dt)
+
+        mass_body, com_body = surface_mass_and_com(xq, jxw, body_mask_cells)
+        pole = self.force_pole_point(com_body)
+
+        sp = support_points(euler, self.map_space, self.fe_space).astype(dt)
+        N = rigid_modes(sp, pole, node_mask=body_mask_nodes)  # [R, n, d]
+        N_complete = rigid_modes(sp, pole)
+        N_dual = jax.vmap(mass_op.matvec)(N)
+        N_dual_complete = jax.vmap(mass_op.matvec)(N_complete)
+
+        nv = normal_vector_l2(mass_op, normals_q, jxw, body_mask_nodes)
+        n_pure_f = flatten(nv["normal_pure"])
+        Mn_pure_f = flatten(nv["M_normal_pure"])
+        l2g_pure = nv["l2_gamma_pure"]
+
+        V, K = assemble_V_K(euler, sp, self.tables)
+        V, Vn_pre = v_nullspace_correction(V, n_pure_f, Mn_pure_f, l2g_pure)
+        K, k_check = k_solid_angle_correction(
+            K, n, d, use_internal_alpha=cfg.use_internal_alpha
+        )
+
+        def P_t(v):
+            return tangential_projector(v, n_pure_f, Mn_pure_f, l2g_pure)
+
+        def PKP(v):
+            return P_t(K @ P_t(v))
+
+        N_flat = jax.vmap(flatten)(N)  # [R, d*n]
+        tmp_N = jax.vmap(PKP)(N_flat)
+        N_dual_flat = jax.vmap(flatten)(N_dual)
+        rhs_surface = PKP(shape_velocities_flat.astype(dt))
+
+        sel_V = operator_column_mask(
+            jnp.asarray(self.node_material), flatten(nv["normal"]), n, d
+        )
+        A, rhs = build_monolithic_system(
+            V,
+            K,
+            sel_V,
+            tmp_N,
+            N_dual_flat,
+            rhs_surface,
+            grid_type=cfg.grid_type,
+            imposed_component=cfg.imposed_component,
+            assemble_scaling=cfg.assemble_scaling,
+        )
+        diagnostics = dict(
+            mass_body=mass_body,
+            com_body=com_body,
+            v_null_residual_pre=jnp.max(jnp.abs(Vn_pre)),
+            k_solid_angle_check=k_check,
+        )
+        operators = dict(
+            V=V,
+            K=K,
+            sel_V=sel_V,
+            normal=nv,
+            N=N,
+            N_dual=N_dual,
+            N_dual_complete=N_dual_complete,
+            tmp_N=tmp_N,
+            mass_jxw=jxw,
+        )
+        return A, rhs, operators, diagnostics
+
+    # ------------------------------------------------------------------
+    def solve_frame(self, euler, shape_velocities_flat):
+        """Assemble + solve one frame. Returns dict of results (host)."""
+        cfg = self.cfg
+        A, rhs, ops, diag = self._jit_pipeline(euler, shape_velocities_flat)
+
+        if cfg.solver.solve_directly:
+            x = lu_solve_dense(lu_factor_dense(A), rhs)
+            iters = 1
+        else:
+            refactored = self.preconditioner.maybe_refactor(A, 10**9)
+            x, info = gmres(
+                lambda v: A @ v,
+                rhs,
+                precond=self.preconditioner.apply,
+                restart=cfg.solver.gmres_restart,
+                tol=cfg.solver.tolerance,
+                max_restarts=4,
+            )
+            iters = int(info["iterations"])
+            self.preconditioner.maybe_refactor(A, iters)
+
+        forces, wall_vel, rigid_vel = split_monolithic_solution(
+            x, ops["sel_V"], self.num_rigid, cfg.assemble_scaling
+        )
+        residual = jnp.linalg.norm(A @ x - rhs)
+        return dict(
+            stokes_forces=forces,
+            wall_velocities=wall_vel,
+            rigid_velocities=np.asarray(rigid_vel),
+            iterations=iters,
+            residual=float(residual),
+            diagnostics={k: np.asarray(v) for k, v in diag.items()},
+            operators=ops,
+            A=A,
+            rhs=rhs,
+        )
+
+    # ------------------------------------------------------------------
+    def shape_velocities_fd(self, euler_now, euler_next, time_step=None):
+        """Finite-difference gait velocity projected onto the FE space
+        (reference `project_shape_velocities`, `source/bem_stokes.cc:2120`).
+        With equal FE and mapping spaces the projection is the identity."""
+        dt_step = time_step or self.cfg.time_step
+        vel_map = (euler_next - euler_now) / dt_step  # [n_map, d]
+        if self.cfg.fe_degree == self.cfg.map_degree:
+            return flatten(vel_map)
+        # L2-project between spaces via the mass solve
+        raise NotImplementedError(
+            "FE/map degree mismatch projection lands with the Q2 milestone"
+        )
+
+
+def load_frame_mesh(cfg: ProblemConfig, frame: int) -> SurfaceMesh:
+    path = (
+        f"{cfg.input_grid_path}{cfg.input_grid_base_name}{frame}."
+        f"{cfg.input_grid_format}"
+    )
+    return read_mesh(path, dim=cfg.dim)
