@@ -1,4 +1,10 @@
-from .assemble import AssemblyConfig, AssemblyTables, build_assembly_tables, assemble_V_K
+from .assemble import (
+    AssemblyConfig,
+    AssemblyTables,
+    build_assembly_tables,
+    assemble_V_K,
+    assemble_rows,
+)
 from .corrections import (
     v_nullspace_correction,
     k_solid_angle_correction,
@@ -11,6 +17,7 @@ __all__ = [
     "AssemblyTables",
     "build_assembly_tables",
     "assemble_V_K",
+    "assemble_rows",
     "v_nullspace_correction",
     "k_solid_angle_correction",
     "tangential_projector",

@@ -216,19 +216,42 @@ def assemble_V_K(
     tables: AssemblyTables,
     row_range: tuple[int, int] | None = None,
 ):
-    """Assemble dense V and K.  Returns (V, K) of shape [d*nr, d*n] where nr
-    is the number of collocation rows assembled (all nodes, or a contiguous
-    [row_start, row_end) slice for sharded assembly).
+    """Assemble dense V and K over a contiguous collocation-row range.
+    Returns (V, K) of shape [d*nr, d*n] (all nodes by default).
 
     Jit-compatible: `euler` and `support_pts` are traced; all tables are
     static constants.
     """
+    n = tables.n_nodes
+    if row_range is None:
+        row_range = (0, n)
+    r0, r1 = row_range
+    node_ids = jnp.arange(r0, r1, dtype=jnp.int32)
+    xi = support_pts[r0:r1]
+    return assemble_rows(euler, support_pts, xi, node_ids, jnp.int32(r0), tables)
+
+
+def assemble_rows(
+    euler: jnp.ndarray,  # [n_map_nodes, d]
+    support_pts: jnp.ndarray,  # [n, d] all FE node positions (columns)
+    xi: jnp.ndarray,  # [nr, d] collocation points of the rows to assemble
+    node_ids: jnp.ndarray,  # [nr] global scalar node ids of those rows
+    r0,  # traced or static scalar: first global node id of this row block
+    tables: AssemblyTables,
+):
+    """Row-block assembly kernel: builds (V, K) [d*nr, d*n] for an arbitrary
+    contiguous block of collocation nodes.  This is the shard-local body of
+    the row-partitioned distributed assembly (the reference's
+    `this_cpu_set.is_element(i)` masking, `source/bem_stokes.cc:2875-2877`,
+    turned into an explicit row slab per device)."""
     cfg = tables.cfg
     d = cfg.dim
     n = tables.n_nodes
     dt = cfg.dtype
     euler = euler.astype(dt)
     support_pts = support_pts.astype(dt)
+    xi = xi.astype(dt)
+    nr = xi.shape[0]
 
     cells_map = jnp.asarray(tables.cells_nodes_map)
     cells_fe = jnp.asarray(tables.cells_nodes_fe)
@@ -246,14 +269,7 @@ def assemble_V_K(
     )  # [Nc, nq, d], [Nc, nq, d], [Nc, nq]
     phi_fe = jnp.asarray(tables.phi_fe, dt)  # [nq, nl]
 
-    if row_range is None:
-        row_range = (0, n)
-    r0, r1 = row_range
-    nr = r1 - r0
-    node_ids = jnp.arange(r0, r1, dtype=jnp.int32)
-    xi = support_pts[r0:r1]  # [nr, d]
-
-    tile = cfg.row_tile
+    tile = min(cfg.row_tile, nr)
     xi_p = _pad_to_multiple(xi, tile, 0)
     ids_p = _pad_to_multiple(node_ids, tile, 0, pad_value=-1)
     n_tiles = xi_p.shape[0] // tile
@@ -330,25 +346,16 @@ def assemble_V_K(
     V = rowsV.reshape(d * nr, d * n)
     K = rowsK.reshape(d * nr, d * n)
 
-    # ---- singular path (rows sliced to this shard's range) ----
-    Vs, Ks = _singular_contributions(euler, support_pts, tables)
-    V, K = _add_singular(V, K, Vs, Ks, r0, nr, n, d)
+    # ---- singular path (scattered with drop-mode into this row block) ----
+    V, K = _add_singular_rows(V, K, euler, support_pts, tables, r0, nr)
     return V, K
 
 
-def _add_singular(V, K, Vs, Ks, r0, nr, n, d):
-    """Vs/Ks come back as dense [d*n, d*n] global matrices (cheap: built by
-    one scatter); slice their rows into the local row block."""
-    rows = (
-        jnp.arange(d)[:, None] * n + (r0 + jnp.arange(nr))[None, :]
-    ).reshape(-1)
-    return V + Vs[rows], K + Ks[rows]
-
-
-def _singular_contributions(euler, support_pts, tables: AssemblyTables):
+def _add_singular_rows(V, K, euler, support_pts, tables: AssemblyTables, r0, nr):
     """Batched singular-pair integrals: for every (cell c, local node l) the
     collocation point is the cell's own node and the rule is the precomputed
-    per-local-node singular rule. Returns dense [d*n, d*n] scatter results."""
+    per-local-node singular rule.  Contributions whose row node falls outside
+    [r0, r0+nr) are dropped (each shard keeps only its own rows)."""
     cfg = tables.cfg
     d = cfg.dim
     n = tables.n_nodes
@@ -393,10 +400,16 @@ def _singular_contributions(euler, support_pts, tables: AssemblyTables):
     Vloc = jnp.einsum("clqab,clq,lqm->clabm", G, jxw, sphi_fe)
     Kloc = -jnp.einsum("clqab,clq,lqm->clabm", Wn, jxw, sphi_fe)
 
-    # scatter: row (a, cells_fe[c, l]); col (b, cells_fe[c, m])
-    row_idx = (
-        jnp.arange(d, dtype=jnp.int32)[None, None, :] * n
-        + cells_fe[:, :, None]
+    # scatter: row (a, cells_fe[c, l] - r0) local to this shard; col
+    # (b, cells_fe[c, m]) global.  Out-of-shard rows get an out-of-bounds
+    # index and are dropped by the scatter.
+    local_node = cells_fe - r0  # [Nc, nl]
+    in_shard = (local_node >= 0) & (local_node < nr)
+    big = jnp.int32(d * nr + d * n)  # any index >= d*nr drops
+    row_idx = jnp.where(
+        in_shard[:, :, None],
+        jnp.arange(d, dtype=jnp.int32)[None, None, :] * nr + local_node[:, :, None],
+        big,
     )  # [Nc, nl, d]
     col_idx = (
         jnp.arange(d, dtype=jnp.int32)[None, :, None] * n
@@ -408,6 +421,6 @@ def _singular_contributions(euler, support_pts, tables: AssemblyTables):
     ci = jnp.broadcast_to(
         col_idx[:, None, None, :, :], (Nc, nl, d, d, nl)
     ).reshape(-1)
-    Vs = jnp.zeros((d * n, d * n), dt).at[ri, ci].add(Vloc.reshape(-1))
-    Ks = jnp.zeros((d * n, d * n), dt).at[ri, ci].add(Kloc.reshape(-1))
-    return Vs, Ks
+    V = V.at[ri, ci].add(Vloc.reshape(-1), mode="drop")
+    K = K.at[ri, ci].add(Kloc.reshape(-1), mode="drop")
+    return V, K

@@ -1,0 +1,291 @@
+"""Sharded end-to-end frame step: row-partitioned assembly, slab-layout
+operator corrections, implicit monolithic matvec, block-Jacobi-LU
+preconditioned GMRES — the multi-chip "training step" of the framework.
+
+This is the distributed counterpart of `StokesBEMProblem._pipeline` +
+`solve_frame`: same math, with the dense operators living sharded
+P('rows', None) on a 1-D device mesh and every correction applied in slab
+layout (no device ever holds the full matrix).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .sharded import (
+    padded_rows,
+    sharded_assemble,
+    flat_to_slab,
+    slab_to_flat,
+)
+from ..la.gmres import gmres
+from ..ops.monolithic import operator_column_mask
+from ..ops.corrections import tangential_projector
+from ..physics.rigid import (
+    build_mass_operator,
+    surface_mass_and_com,
+    rigid_modes,
+    normal_vector_l2,
+    flatten,
+)
+
+
+def slab_rank1_update(A_slab, u_slab, v_rep, mesh: Mesh):
+    """A += outer(u, v) with u row-sharded (slab) and v replicated."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows", None), P("rows"), P()),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )
+    def _upd(A_loc, u_loc, v):
+        return A_loc + jnp.outer(u_loc, v)
+
+    return _upd(A_slab, u_slab, v_rep)
+
+
+def slab_solid_angle_correction(K_slab, n_nodes, dim, mesh: Mesh, use_internal_alpha=False):
+    """Distributed version of ops.corrections.k_solid_angle_correction: each
+    device corrects the diagonal blocks of its own rows."""
+    n = n_nodes
+    d = dim
+    _, nloc = padded_rows(n, mesh)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows", None),),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )
+    def _corr(K_loc):  # [d*nloc, d*n]
+        r0 = jax.lax.axis_index("rows").astype(jnp.int32) * nloc
+        C = jnp.stack(
+            [K_loc[:, b * n : (b + 1) * n].sum(axis=1) for b in range(d)],
+            axis=-1,
+        )  # [d*nloc, d]
+        i = jnp.arange(nloc, dtype=jnp.int32)
+        node = r0 + i  # global node ids of this slab
+        valid = node < n
+        rows = (
+            jnp.arange(d, dtype=jnp.int32)[:, None, None] * nloc + i[None, None, :]
+        )  # [d,1,nloc]
+        big = jnp.int32(d * nloc + d * n)
+        cols = jnp.where(
+            valid[None, None, :],
+            jnp.arange(d, dtype=jnp.int32)[None, :, None] * n + node[None, None, :],
+            big,
+        )  # [1,d,nloc]
+        rows_b = jnp.broadcast_to(rows, (d, d, nloc))
+        cols_b = jnp.broadcast_to(cols, (d, d, nloc))
+        Cab = C.reshape(d, nloc, d)  # [a, i, b]
+        vals = -Cab.transpose(0, 2, 1) + jnp.eye(d, dtype=K_loc.dtype)[
+            :, :, None
+        ] * (0.0 if use_internal_alpha else 1.0)
+        return K_loc.at[rows_b.ravel(), cols_b.ravel()].add(
+            vals.ravel(), mode="drop"
+        )
+
+    return _corr(K_slab)
+
+
+def slab_block_jacobi_lu(A_slab, tail_rows, n_nodes, dim, n_rigid, mesh: Mesh):
+    """Factor each device's diagonal block (its rows x its columns) for a
+    block-Jacobi preconditioner; the rigid tail gets the identity.  Returns
+    (lu, piv) stacked over devices, sharded P('rows')."""
+    n = n_nodes
+    d = dim
+    _, nloc = padded_rows(n, mesh)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows", None),),
+        out_specs=(P("rows", None), P("rows")),
+        check_vma=False,
+    )
+    def _factor(A_loc):  # [d*nloc, d*n]
+        r0 = jax.lax.axis_index("rows").astype(jnp.int32) * nloc
+        # own columns: for each component b, the slice [b*n + r0, +nloc)
+        blocks = [
+            jax.lax.dynamic_slice(
+                A_loc, (0, b * n), (d * nloc, n)
+            )  # component block
+            for b in range(d)
+        ]
+        own = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(blk, (jnp.int32(0), r0), (d * nloc, nloc))
+                for blk in blocks
+            ],
+            axis=1,
+        )  # [d*nloc, d*nloc]
+        # padded rows/cols: put 1 on the diagonal to keep the block regular
+        node = r0 + jnp.arange(nloc, dtype=jnp.int32)
+        pad = jnp.tile(node >= n, d)
+        own = jnp.where(
+            (pad[:, None] | pad[None, :]),
+            jnp.eye(d * nloc, dtype=A_loc.dtype) * 1.0,
+            own,
+        )
+        lu, piv = jax.scipy.linalg.lu_factor(own)
+        return lu, piv
+
+    return _factor(A_slab)
+
+
+def slab_block_jacobi_apply(lu_slab, piv_slab, v_slab, mesh: Mesh):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows", None), P("rows"), P("rows")),
+        out_specs=P("rows"),
+        check_vma=False,
+    )
+    def _apply(lu, piv, v):
+        return jax.scipy.linalg.lu_solve((lu, piv), v)
+
+    return _apply(lu_slab, piv_slab, v_slab)
+
+
+def make_sharded_frame_step(problem, dmesh: Mesh):
+    """Build the jitted distributed frame step for a StokesBEMProblem.
+
+    Returns step(euler, sdot_flat) -> (rigid_velocities [R], euler_next,
+    info) running: sharded assembly -> slab corrections -> implicit
+    monolithic GMRES with block-Jacobi-LU -> forward-Euler rigid update.
+    """
+    cfg = problem.cfg
+    tables = problem.tables
+    d = problem.dim
+    n = problem.n
+    R = problem.num_rigid
+    dt_num = tables.cfg.dtype
+    scale = cfg.assemble_scaling
+    from ..fem.geometry import support_points as support_points_fn
+
+    def step(euler, sdot_flat):
+        euler = euler.astype(dt_num)
+        mass_op, (xq, normals_q, jxw) = build_mass_operator(euler, tables)
+        body_nodes = jnp.asarray(problem.body_node_mask, dt_num)
+        body_cells = jnp.asarray(problem.body_cell_mask, dt_num)
+        _, com_body = surface_mass_and_com(xq, jxw, body_cells)
+        pole = problem.force_pole_point(com_body)
+        sp = support_points_fn(euler, problem.map_space, problem.fe_space).astype(
+            dt_num
+        )
+        N = rigid_modes(sp, pole, node_mask=body_nodes)
+        N_dual = jax.vmap(mass_op.matvec)(N)
+        nv = normal_vector_l2(mass_op, normals_q, jxw, body_nodes)
+        n_pure_f = flatten(nv["normal_pure"])
+        Mn_pure_f = flatten(nv["M_normal_pure"])
+        l2g_pure = nv["l2_gamma_pure"]
+
+        # ---- sharded assembly + corrections ----
+        V_slab, K_slab = sharded_assemble(euler, sp, tables, dmesh)
+        Vn_slab = _slab_mv(V_slab, n_pure_f, dmesh)
+        resid_slab = flat_to_slab(n_pure_f, n, d, dmesh) - Vn_slab
+        V_slab = slab_rank1_update(
+            V_slab, resid_slab, Mn_pure_f / l2g_pure, dmesh
+        )
+        K_slab = slab_solid_angle_correction(
+            K_slab, n, d, dmesh, use_internal_alpha=cfg.use_internal_alpha
+        )
+
+        def P_t(v):
+            return tangential_projector(v, n_pure_f, Mn_pure_f, l2g_pure)
+
+        def PKP(v):
+            Kv = slab_to_flat(_slab_mv(K_slab, P_t(v), dmesh), n, d, dmesh)
+            return P_t(Kv)
+
+        N_flat = jax.vmap(flatten)(N)
+        tmp_N = jax.vmap(PKP)(N_flat)  # [R, dn]
+        N_dual_flat = jax.vmap(flatten)(N_dual)
+        rhs_surface = PKP(sdot_flat.astype(dt_num))
+
+        sel_V = operator_column_mask(
+            jnp.asarray(problem.node_material), flatten(nv["normal"]), n, d
+        )
+
+        # ---- implicit monolithic operator ----
+        # A_slab for the surface block: select V / -K columns, in slab rows
+        @partial(
+            shard_map,
+            mesh=dmesh,
+            in_specs=(P("rows", None), P("rows", None), P()),
+            out_specs=P("rows", None),
+            check_vma=False,
+        )
+        def _select(V_loc, K_loc, sel):
+            return jnp.where(sel[None, :], V_loc, -K_loc)
+
+        A_slab = _select(V_slab, K_slab, sel_V)
+
+        tail = scale * N_dual_flat if cfg.grid_type == "Real" else N_dual_flat
+        if cfg.grid_type == "ImposedVelocity":
+            tail = jnp.zeros_like(N_dual_flat)
+
+        def matvec(x):  # x = [dn + R] replicated
+            xs, u = x[: d * n], x[d * n :]
+            y_surf = slab_to_flat(_slab_mv(A_slab, xs, dmesh), n, d, dmesh)
+            y_surf = y_surf - scale * (u @ tmp_N)
+            if cfg.grid_type == "ImposedVelocity":
+                y_tail = scale * u
+            else:
+                y_tail = tail @ xs
+            return jnp.concatenate([y_surf, y_tail])
+
+        rhs_tail = jnp.zeros((R,), dt_num)
+        if cfg.grid_type != "Real":
+            rhs = jnp.concatenate(
+                [jnp.zeros((d * n,), dt_num), rhs_tail.at[cfg.imposed_component].set(1.0)]
+            )
+        else:
+            rhs = jnp.concatenate([rhs_surface, rhs_tail])
+
+        # ---- block-Jacobi-LU preconditioned GMRES ----
+        lu_slab, piv_slab = slab_block_jacobi_lu(A_slab, None, n, d, R, dmesh)
+
+        def precond(x):
+            xs, u = x[: d * n], x[d * n :]
+            ys = slab_to_flat(
+                slab_block_jacobi_apply(
+                    lu_slab, piv_slab, flat_to_slab(xs, n, d, dmesh), dmesh
+                ),
+                n,
+                d,
+                dmesh,
+            )
+            return jnp.concatenate([ys, u])
+
+        x, info = gmres(
+            matvec,
+            rhs,
+            precond=precond,
+            restart=cfg.solver.gmres_restart,
+            tol=cfg.solver.tolerance,
+            max_restarts=4,
+        )
+        rigid_vel = x[d * n :] * scale
+
+        # ---- forward-Euler rigid displacement update (tiny) ----
+        U = rigid_vel[:d]
+        euler_next = euler + cfg.time_step * U[None, :]
+        return rigid_vel, euler_next, info
+
+    return jax.jit(step)
+
+
+def _slab_mv(A_slab, x_flat, mesh):
+    from .sharded import sharded_matvec
+
+    return sharded_matvec(A_slab, x_flat, mesh)
