@@ -61,6 +61,8 @@ class ProblemConfig:
     reflect_kernel: bool = False  # free-surface image kernel
     no_slip_kernel: bool = False  # Blake image kernel
     solve_with_torque: bool = False
+    use_previous_state: bool = False
+    squirmer_change_geometry: bool = True
     input_grid_path: str = "../debug_grids/"
     input_grid_base_name: str = "sphere_mesh_3d_"
     input_grid_format: str = "msh"

@@ -1,0 +1,158 @@
+"""Wall / box mesh factories (reference `create_coarse_wall`
+`source/bem_stokes.cc:1202-1322`, `create_wall` `:1324-1358`, `create_box`
+`:1360-1411`, `refine_walls` `:1478-1519`).
+
+A wall is a flat rectangular quad patch: `position` is its center, `span`
+has a zero entry on the wall-normal axis and half-extents on the two
+in-plane axes.  Material ids encode the BC type (surface_mesh constants).
+The cell orientation is chosen so the parametric normal points from the wall
+toward the origin (the fluid side), matching the reference's vertex-ordering
+cases; `flip_normal` reverses it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .surface_mesh import SurfaceMesh, WALL_TYPE_TO_MATERIAL
+from .refine import refine_uniform
+
+
+def create_wall(
+    position,
+    span,
+    wall_type: str = "no_slip",
+    flip_normal: bool = False,
+    refinements: int = 1,
+) -> SurfaceMesh:
+    position = np.asarray(position, dtype=np.float64)
+    span = np.asarray(span, dtype=np.float64)
+    (normal_axis,) = np.nonzero(span == 0.0)[0][:1] if np.any(span == 0.0) else (None,)
+    if normal_axis is None:
+        raise ValueError("a wall needs a zero span entry (the normal axis)")
+    t0, t1 = [i for i in range(3) if i != normal_axis]
+    s0 = np.zeros(3)
+    s0[t0] = span[t0]
+    s1 = np.zeros(3)
+    s1[t1] = span[t1]
+
+    # lexicographic corners of the quad in the (t0, t1) plane
+    verts = np.stack(
+        [
+            position - s0 - s1,  # (0,0)
+            position + s0 - s1,  # (1,0)
+            position - s0 + s1,  # (0,1)
+            position + s0 + s1,  # (1,1)
+        ]
+    )
+    cell = np.array([[0, 1, 2, 3]], dtype=np.int32)
+    # parametric normal of this ordering is e_t0 x e_t1; flip the cell when
+    # that is not the wanted direction (toward the origin / fluid side)
+    e = np.zeros(3)
+    e[normal_axis] = 1.0
+    param_normal_sign = np.dot(np.cross(verts[1] - verts[0], verts[2] - verts[0]), e)
+    want_sign = -np.sign(position[normal_axis]) if position[normal_axis] != 0 else 1.0
+    if flip_normal:
+        want_sign = -want_sign
+    if np.sign(param_normal_sign) != want_sign:
+        cell = cell[:, [1, 0, 3, 2]]  # mirror the parametrization
+
+    mat = np.array([WALL_TYPE_TO_MATERIAL[wall_type]], dtype=np.int32)
+    wall = SurfaceMesh(verts, cell, mat)
+    if refinements:
+        wall = refine_uniform(wall, times=refinements)
+    return wall
+
+
+def create_box(walls_cfg, refinements: int = 1) -> SurfaceMesh:
+    """Six walls merged into a closed box (reference `create_box`); each
+    entry of walls_cfg has .position/.span/.wall_type/.flip_normal."""
+    assert len(walls_cfg) == 6, "a box needs exactly 6 wall configs"
+    box = None
+    for w in walls_cfg:
+        wall = create_wall(
+            w.position, w.span, w.wall_type, w.flip_normal, refinements=0
+        )
+        box = wall if box is None else box.merged_with(wall)
+    if refinements:
+        box = refine_uniform(box, times=refinements)
+    return box
+
+
+def add_walls_to_mesh(mesh: SurfaceMesh, cfg) -> SurfaceMesh:
+    """Attach configured walls / box to a swimmer mesh (reference
+    `compute_euler_vector` wall insertion, `source/bem_stokes.cc:2312-2340`).
+    `cfg` is a ProblemConfig."""
+    walls = list(cfg.walls)
+    if cfg.create_box:
+        i0 = cfg.first_index_box
+        box_walls = walls[i0 : i0 + 6]
+        others = walls[:i0] + walls[i0 + 6 :]
+        for w in others:
+            if w.enabled:
+                mesh = mesh.merged_with(
+                    create_wall(w.position, w.span, w.wall_type, w.flip_normal)
+                )
+        mesh = mesh.merged_with(create_box(box_walls))
+    else:
+        for w in walls:
+            if w.enabled:
+                mesh = mesh.merged_with(
+                    create_wall(w.position, w.span, w.wall_type, w.flip_normal)
+                )
+    return mesh
+
+
+def refine_walls(
+    mesh: SurfaceMesh,
+    max_distance: float,
+    threshold: float,
+    center=(0.0, 0.0, 0.0),
+    gradual: bool = False,
+    max_rounds: int = 10,
+) -> SurfaceMesh:
+    """Refine no-slip / free-surface wall cells near `center` until their
+    diameter falls under `threshold` (reference `refine_walls`).
+
+    NOTE: filtered refinement creates hanging nodes at the refinement front;
+    until the constraint layer lands this refines whole walls uniformly when
+    any of their cells triggers (conforming but coarser-grained)."""
+    center = np.asarray(center, dtype=np.float64)
+    for _ in range(max_rounds):
+        verts = mesh.vertices[mesh.cells]  # [Nc, 4, 3]
+        diameters = np.max(
+            np.linalg.norm(verts[:, :, None, :] - verts[:, None, :, :], axis=-1),
+            axis=(1, 2),
+        )
+        dist = np.min(np.linalg.norm(verts - center, axis=-1), axis=1)
+        thr = threshold * (
+            np.clip(dist / max_distance, 0.1, 1.0) if gradual else 1.0
+        )
+        is_wall = (mesh.material_id == 2) | (mesh.material_id == 3)
+        trigger = is_wall & (dist < max_distance) & (diameters > thr)
+        if not np.any(trigger):
+            break
+        # conforming variant: refine every cell of the triggered materials
+        mats = np.unique(mesh.material_id[trigger])
+        refine_set = np.isin(mesh.material_id, mats)
+        if refine_set.all():
+            mesh = refine_uniform(mesh)
+        else:
+            # refine triggered walls only; body cells untouched => hanging
+            # nodes can only appear on wall/wall interfaces of the SAME
+            # material, which uniform per-material refinement avoids
+            sub_keep = SurfaceMesh(
+                mesh.vertices,
+                mesh.cells[~refine_set],
+                mesh.material_id[~refine_set],
+                mesh.flip_normal[~refine_set],
+            )
+            sub_ref = SurfaceMesh(
+                mesh.vertices,
+                mesh.cells[refine_set],
+                mesh.material_id[refine_set],
+                mesh.flip_normal[refine_set],
+            )
+            sub_ref = refine_uniform(sub_ref)
+            mesh = sub_keep.merged_with(sub_ref)
+    return mesh

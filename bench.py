@@ -74,21 +74,39 @@ def main():
     sp = support_points(euler, space, space)
 
     # ---- assembly throughput ----
-    asm = jax.jit(lambda e, s: assemble_V_K(e, s, tables))
-    t0 = time.perf_counter()
-    V, K = asm(euler, sp)
-    jax.block_until_ready((V, K))
-    compile_and_first = time.perf_counter() - t0
-    times = []
-    for _ in range(3):
-        # chain a data dependency through the output so no layer between the
-        # host and the chip can dedupe identical dispatches
-        euler = euler + (V[0, 0] - V[0, 0])
+    # The axon relay's block_until_ready does NOT synchronize and each
+    # dispatch carries ~25 ms RPC overhead, so: (a) loop the repetitions
+    # inside ONE jitted dispatch with a data dependency chaining iterations,
+    # (b) force sync with a scalar host readback, (c) difference two loop
+    # lengths to cancel the fixed dispatch+readback overhead.
+    def asm_loop(k):
+        @jax.jit
+        def run(e, s):
+            def body(i, carry):
+                V, K = carry
+                # 1e-30 perturbation: arithmetic no-op, un-foldable dependency
+                e_i = e + jnp.asarray(1e-30, dtype) * V[0, 0]
+                return assemble_V_K(e_i, s, tables)
+            V0, K0 = assemble_V_K(e, s, tables)
+            return jax.lax.fori_loop(0, k, body, (V0, K0))
+        return run
+
+    def timed(run, *args):
+        out = run(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[0])  # warm compile + sync
         t0 = time.perf_counter()
-        V, K = asm(euler, sp)
-        jax.block_until_ready((V, K))
-        times.append(time.perf_counter() - t0)
-    t_asm = min(times)
+        out = run(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[0])
+        return time.perf_counter() - t0, out
+
+    t0 = time.perf_counter()
+    k_lo, k_hi = 1, 4
+    t_lo, (V, K) = timed(asm_loop(k_lo), euler, sp)
+    t_hi, (V, K) = timed(asm_loop(k_hi), euler, sp)
+    t_asm = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    compile_and_first = time.perf_counter() - t0
     pairs = float(n) * float(Nc)
     pairs_per_s = pairs / t_asm
     nq = tables.q_weights.shape[0]
@@ -98,17 +116,20 @@ def main():
         file=sys.stderr,
     )
 
-    # ---- matvec GFLOP/s ----
+    # ---- matvec GFLOP/s (same in-dispatch loop technique) ----
     x = jnp.ones((3 * n,), dtype)
-    mv = jax.jit(lambda M, v: M @ (v / jnp.linalg.norm(v)))
-    y = mv(V, x)
-    jax.block_until_ready(y)
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = mv(V, y)  # chained: each call consumes the previous result
-    jax.block_until_ready(y)
-    t_mv = (time.perf_counter() - t0) / reps
+
+    def mv_loop(k):
+        @jax.jit
+        def run(M, v):
+            def body(i, v):
+                return M @ (v / jnp.linalg.norm(v))
+            return jax.lax.fori_loop(0, k, body, v)
+        return run
+
+    t_lo, _ = timed(mv_loop(5), V, x)
+    t_hi, _ = timed(mv_loop(55), V, x)
+    t_mv = max((t_hi - t_lo) / 50, 1e-9)
     gflops = 2.0 * (3.0 * n) ** 2 / t_mv / 1e9
     print(f"matvec: {t_mv*1e3:.2f} ms -> {gflops:.1f} GFLOP/s", file=sys.stderr)
 
