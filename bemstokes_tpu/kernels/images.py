@@ -223,3 +223,48 @@ def no_slip_wall_singular_GW(
         )
     ) * (0.3 * B(h0) / math.pi / B(RI ** (dim + 2)) / 2.0)
     return sk + extra
+
+
+def free_surface_G_Wn(p, p_image, n, wall_axis: int, eps: float = 0.0):
+    """Fused (G, W . n) for the free-surface image kernel (row-sign
+    convention of the assembly path)."""
+    dim = p.shape[-1]
+    assert dim == 3
+    from .stokeslet import stokeslet_G_Wn
+
+    G0, Wn0 = stokeslet_G_Wn(p, n, eps)
+    GI, WnI = stokeslet_G_Wn(p_image, n, eps)
+    s = _row_sign(dim, wall_axis, p.dtype)
+    return G0 + s[:, None] * GI, Wn0 + s[:, None] * WnI
+
+
+def no_slip_wall_Wn(p, p_image, n, wall_axis: int, eps: float = 0.0):
+    """Fused Blake stresslet contraction (W . n)_ij, analytically contracting
+    every term of `no_slip_wall_W` with n_k (same literal term structure)."""
+    dim = p.shape[-1]
+    assert dim == 3
+    h0 = 0.5 * (p_image[..., wall_axis] - p[..., wall_axis])[..., None, None]
+    R = (jnp.sqrt(jnp.sum(p * p, axis=-1)) + eps)[..., None, None]
+    RI = (jnp.sqrt(jnp.sum(p_image * p_image, axis=-1)) + eps)[..., None, None]
+    eye = jnp.eye(dim, dtype=p.dtype)
+    pi_ = p[..., :, None]
+    pj_ = p[..., None, :]
+    pIi = p_image[..., :, None]
+    pIj = p_image[..., None, :]
+    ni = n[..., :, None]
+    nj = n[..., None, :]
+    pn = jnp.sum(p * n, axis=-1)[..., None, None]
+    pIn = jnp.sum(p_image * n, axis=-1)[..., None, None]
+    pI_w = p_image[..., wall_axis][..., None, None]
+    e_w = jnp.zeros((dim,), dtype=p.dtype).at[wall_axis].set(1.0)
+    # base . n
+    base = -pi_ * pj_ * pn / R**5 + pIi * pIj * pIn / RI**5
+    # T . n (the delta_ij pI_k delta_jk pI_i product term contracts to
+    # delta_ij pI_i^2 n_i, preserving the reference's literal structure)
+    pI2diag = eye * (p_image**2 * n)[..., :, None]  # delta_ij pI_i^2 n_i
+    Tn = -(ni * pIj + pI2diag) / RI**5 + 5.0 * pIi * pIj * pIn / RI**7
+    # U . n
+    Un = (nj * pIi * pI_w - e_w[:, None] * pIj * pIn) / RI**5
+    t = _row_sign(dim, wall_axis, p.dtype)
+    Wn = base + t[:, None] * (2.0 * h0 * h0 * Tn - 2.0 * h0 * (pI_w * Tn + Un))
+    return Wn * dim / (2.0 * math.pi * (dim - 1))

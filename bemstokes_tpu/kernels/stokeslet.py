@@ -86,3 +86,24 @@ def hypersingular_L(p: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
         + 60.0 * pi * pj * pk * pm / R7
     )
     return L / (-4.0 * math.pi * (dim - 1))
+
+
+def stokeslet_G_Wn(p: jnp.ndarray, n: jnp.ndarray, eps: float = 0.0):
+    """Fused (G, W . n) without materializing the rank-3 stresslet:
+    (W . n)_ij = -dim p_i p_j (p . n) / R^(dim+2) / (2 pi (dim-1)).
+    p[..., d], n[..., d] (broadcastable) -> ([..., d, d], [..., d, d])."""
+    dim = p.shape[-1]
+    R = _norm(p, eps)
+    invR = 1.0 / R
+    pp = p[..., :, None] * p[..., None, :]
+    eye = jnp.eye(dim, dtype=p.dtype)
+    if dim == 2:
+        G = pp * (invR * invR)[..., None, None] - eye * jnp.log(R)[..., None, None]
+    else:
+        invR3 = invR * invR * invR
+        G = pp * invR3[..., None, None] + eye * invR[..., None, None]
+    G = G / (4.0 * math.pi * (dim - 1))
+    pn = jnp.sum(p * n, axis=-1)
+    scale = -dim / (2.0 * math.pi * (dim - 1))
+    Wn = scale * pp * (pn * invR ** (dim + 2))[..., None, None]
+    return G, Wn

@@ -54,6 +54,8 @@ from ..kernels import (
     no_slip_wall_W,
     image_point,
 )
+from ..kernels.stokeslet import stokeslet_G_Wn
+from ..kernels.images import free_surface_G_Wn, no_slip_wall_Wn
 from ..mesh.dofs import ScalarSpace
 
 KERNEL_FREE_SPACE = "free_space"
@@ -200,6 +202,22 @@ def _eval_G_W(cfg: AssemblyConfig, R, R_img):
     raise ValueError(cfg.kernel)
 
 
+def _eval_G_Wn(cfg: AssemblyConfig, R, R_img, normals):
+    """Fused kernel dispatch: (G, W . n) with the normal contracted
+    analytically — never materializes the rank-3 stresslet (the assembly hot
+    path; identical values to _eval_G_W + contract_normal)."""
+    if cfg.kernel == KERNEL_FREE_SPACE:
+        return stokeslet_G_Wn(R, normals)
+    if cfg.kernel == KERNEL_FREE_SURFACE:
+        return free_surface_G_Wn(R, R_img, normals, cfg.wall_axis)
+    if cfg.kernel == KERNEL_NO_SLIP:
+        return (
+            no_slip_wall_G(R, R_img, cfg.wall_axis),
+            no_slip_wall_Wn(R, R_img, normals, cfg.wall_axis),
+        )
+    raise ValueError(cfg.kernel)
+
+
 def _pad_to_multiple(arr, m, axis, pad_value=0):
     size = arr.shape[axis]
     rem = (-size) % m
@@ -310,8 +328,7 @@ def assemble_rows(
                 xi_img = image_point(xi_t, cfg.wall_axis, cfg.wall_position)
                 R_img = xqc[None, :, :, :] - xi_img[:, None, None, :]
                 R_img = jnp.where(sing[:, :, None, None], jnp.ones_like(R_img), R_img)
-            G, W = _eval_G_W(cfg, R, R_img)  # [t,cc,nq,d,d], [t,cc,nq,d,d,d]
-            Wn = jnp.einsum("tcqabk,cqk->tcqab", W, nrmc)
+            G, Wn = _eval_G_Wn(cfg, R, R_img, nrmc[None, :, :, :])
             w = jxwc[None, :, :] * (~sing)[:, :, None].astype(dt)
             # local blocks: [t, a, b, cc, nl]
             Vloc = jnp.einsum("tcqab,tcq,ql->tabcl", G, w, phi_fe)
@@ -394,8 +411,7 @@ def _add_singular_rows(V, K, euler, support_pts, tables: AssemblyTables, r0, nr)
     else:
         xi_img = image_point(xi, cfg.wall_axis, cfg.wall_position)
         R_img = jnp.where(wz, jnp.ones_like(R), xq - xi_img[:, :, None, :])
-    G, W = _eval_G_W(cfg, R, R_img)  # [Nc, nl, qs, d, d(,d)]
-    Wn = jnp.einsum("clqabk,clqk->clqab", W, normals)
+    G, Wn = _eval_G_Wn(cfg, R, R_img, normals)  # [Nc, nl, qs, d, d]
 
     Vloc = jnp.einsum("clqab,clq,lqm->clabm", G, jxw, sphi_fe)
     Kloc = -jnp.einsum("clqab,clq,lqm->clabm", Wn, jxw, sphi_fe)

@@ -222,6 +222,8 @@ class StokesBEMProblem:
     def solve_frame(self, euler, shape_velocities_flat):
         """Assemble + solve one frame. Returns dict of results (host)."""
         cfg = self.cfg
+        if not cfg.monolithic:
+            return self._solve_frame_resistance(euler, shape_velocities_flat)
         A, rhs, ops, diag = self._jit_pipeline(euler, shape_velocities_flat)
 
         if cfg.solver.solve_directly:
@@ -250,6 +252,44 @@ class StokesBEMProblem:
             rigid_velocities=np.asarray(rigid_vel),
             iterations=iters,
             residual=float(residual),
+            diagnostics={k: np.asarray(v) for k, v in diag.items()},
+            operators=ops,
+            A=A,
+            rhs=rhs,
+        )
+
+    # ------------------------------------------------------------------
+    def _solve_frame_resistance(self, euler, shape_velocities_flat):
+        """Non-monolithic grand-resistance-matrix strategy (reference
+        `solve_system(monolithic=false)`, `source/bem_stokes.cc:4163-4261`)."""
+        import jax as _jax
+
+        from .ops.resistance import solve_resistance_system
+
+        cfg = self.cfg
+        A, rhs, ops, diag = self._jit_pipeline(euler, shape_velocities_flat)
+        nv = ops["normal"]
+        N_flat = _jax.vmap(flatten)(ops["N"])
+        N_dual_flat = _jax.vmap(flatten)(ops["N_dual"])
+        U, forces, res_matrix = solve_resistance_system(
+            ops["V"],
+            ops["K"],
+            shape_velocities_flat.astype(self.asm_cfg.dtype),
+            N_flat,
+            N_dual_flat,
+            flatten(nv["normal_pure"]),
+            flatten(nv["M_normal_pure"]),
+            nv["l2_gamma_pure"],
+            grid_type=cfg.grid_type,
+            imposed_component=cfg.imposed_component,
+        )
+        return dict(
+            stokes_forces=forces,
+            wall_velocities=jnp.zeros_like(forces),
+            rigid_velocities=np.asarray(U),
+            resistance_matrix=np.asarray(res_matrix),
+            iterations=1,
+            residual=0.0,
             diagnostics={k: np.asarray(v) for k, v in diag.items()},
             operators=ops,
             A=A,

@@ -176,3 +176,40 @@ def test_hypersingular_shape():
     L = hypersingular_L(p)
     assert L.shape == (4, 3, 3, 3, 3)
     assert np.all(np.isfinite(np.asarray(L)))
+
+
+def test_fused_G_Wn_matches_explicit():
+    from bemstokes_tpu.kernels.stokeslet import stokeslet_G_Wn
+
+    p = jnp.asarray(rand_points(12, seed=11))
+    n = jnp.asarray(rand_points(12, seed=12))
+    G, Wn = stokeslet_G_Wn(p, n)
+    G_ref = stokeslet_G(p)
+    Wn_ref = contract_normal(stresslet_W(p), n)
+    assert np.allclose(G, G_ref, atol=1e-14)
+    assert np.allclose(Wn, Wn_ref, atol=1e-14)
+
+
+def test_fused_free_surface_matches_explicit():
+    from bemstokes_tpu.kernels.images import free_surface_G_Wn
+
+    w = 1
+    p = jnp.asarray(rand_points(8, seed=13))
+    pI = jnp.asarray(rand_points(8, seed=14))
+    n = jnp.asarray(rand_points(8, seed=15))
+    G, Wn = free_surface_G_Wn(p, pI, n, w)
+    assert np.allclose(G, free_surface_G(p, pI, w), atol=1e-14)
+    Wn_ref = contract_normal(free_surface_W(p, pI, w), n)
+    assert np.allclose(Wn, Wn_ref, atol=1e-14)
+
+
+def test_fused_no_slip_Wn_matches_explicit():
+    from bemstokes_tpu.kernels.images import no_slip_wall_Wn
+
+    for w in range(3):
+        p = jnp.asarray(rand_points(8, seed=16))
+        pI = jnp.asarray(rand_points(8, seed=17))
+        n = jnp.asarray(rand_points(8, seed=18))
+        Wn = no_slip_wall_Wn(p, pI, n, w)
+        Wn_ref = contract_normal(no_slip_wall_W(p, pI, w), n)
+        assert np.allclose(Wn, Wn_ref, atol=1e-12), np.abs(Wn - Wn_ref).max()
