@@ -69,7 +69,9 @@ def panel_geometry(
         nrm = jnp.cross(t_u, t_v)
     else:
         t = J[..., 0]
-        nrm = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+        # 2D: left rotation of the tangent (outward for the reference's
+        # clockwise-parametrized circle meshes, matching deal.II)
+        nrm = jnp.stack([-t[..., 1], t[..., 0]], axis=-1)
     jac = jnp.linalg.norm(nrm, axis=-1)
     normals = nrm / jac[..., None] * flip_sign[:, None, None]
     jxw = jac * weights[None, :]

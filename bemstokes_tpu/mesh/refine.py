@@ -69,7 +69,8 @@ def refine_uniform(
 
 
 def _refine_once(mesh: SurfaceMesh, manifold, cell_filter):
-    assert mesh.dim == 3, "2D line refinement lands with the 2D milestone"
+    if mesh.dim == 2:
+        return _refine_once_lines(mesh, manifold, cell_filter)
     verts = [v for v in mesh.vertices]
     edge_mid: dict[tuple[int, int], int] = {}
     new_cells, new_mats, new_flips = [], [], []
@@ -117,6 +118,39 @@ def _refine_once(mesh: SurfaceMesh, manifold, cell_filter):
             new_mats.append(mat)
             new_flips.append(flip)
 
+    return SurfaceMesh(
+        np.asarray(verts),
+        np.asarray(new_cells, dtype=np.int32),
+        np.asarray(new_mats, dtype=np.int32),
+        np.asarray(new_flips, dtype=bool),
+    )
+
+
+def _refine_once_lines(mesh: SurfaceMesh, manifold, cell_filter):
+    """Split each line cell (2D problems) at its (manifold-projected)
+    midpoint."""
+    verts = [v for v in mesh.vertices]
+    new_cells, new_mats, new_flips = [], [], []
+    refine_mask = (
+        np.ones(mesh.n_cells, dtype=bool) if cell_filter is None else cell_filter
+    )
+    for c in range(mesh.n_cells):
+        v0, v1 = (int(x) for x in mesh.cells[c])
+        if not refine_mask[c]:
+            new_cells.append([v0, v1])
+            new_mats.append(mesh.material_id[c])
+            new_flips.append(mesh.flip_normal[c])
+            continue
+        seg = np.asarray([verts[v0], verts[v1]])
+        pm = 0.5 * seg.sum(axis=0)
+        if manifold is not None:
+            pm = manifold.project(pm[None, :], seg[None, :, :])[0]
+        verts.append(pm)
+        vm = len(verts) - 1
+        for child in ([v0, vm], [vm, v1]):
+            new_cells.append(child)
+            new_mats.append(mesh.material_id[c])
+            new_flips.append(mesh.flip_normal[c])
     return SurfaceMesh(
         np.asarray(verts),
         np.asarray(new_cells, dtype=np.int32),

@@ -394,7 +394,9 @@ def _add_singular_rows(V, K, euler, support_pts, tables: AssemblyTables, r0, nr)
         nrm = jnp.cross(J[..., 0], J[..., 1])
     else:
         t = J[..., 0]
-        nrm = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+        # 2D: left rotation of the tangent (outward for the reference's
+        # clockwise-parametrized circle meshes, matching deal.II)
+        nrm = jnp.stack([-t[..., 1], t[..., 0]], axis=-1)
     jac = jnp.linalg.norm(nrm, axis=-1)
     flip = jnp.asarray(tables.flip_sign, dt)[:, None, None]
     normals = nrm / jac[..., None] * flip[..., None]
