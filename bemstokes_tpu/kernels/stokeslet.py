@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -91,10 +92,18 @@ def hypersingular_L(p: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
 def stokeslet_G_Wn(p: jnp.ndarray, n: jnp.ndarray, eps: float = 0.0):
     """Fused (G, W . n) without materializing the rank-3 stresslet:
     (W . n)_ij = -dim p_i p_j (p . n) / R^(dim+2) / (2 pi (dim-1)).
-    p[..., d], n[..., d] (broadcastable) -> ([..., d, d], [..., d, d])."""
+    p[..., d], n[..., d] (broadcastable) -> ([..., d, d], [..., d, d]).
+
+    eps == 0 (the default) takes the division-free rsqrt path — this is the
+    assembly hot loop, evaluated once per (collocation, quadrature) pair."""
     dim = p.shape[-1]
-    R = _norm(p, eps)
-    invR = 1.0 / R
+    if eps == 0.0:
+        r2 = jnp.sum(p * p, axis=-1)
+        invR = jax.lax.rsqrt(r2)
+        R = r2 * invR
+    else:
+        R = _norm(p, eps)
+        invR = 1.0 / R
     pp = p[..., :, None] * p[..., None, :]
     eye = jnp.eye(dim, dtype=p.dtype)
     if dim == 2:

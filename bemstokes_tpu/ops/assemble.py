@@ -75,6 +75,11 @@ class AssemblyConfig:
     row_tile: int = 32  # collocation nodes per tile
     cell_chunk: int = 256  # panels per inner chunk
     dtype: jnp.dtype = jnp.float64
+    # column reduction strategy: "gather" emits dense per-cell-slot tensors in
+    # the hot loop and maps slots -> node columns with one static incidence
+    # gather (TPU-fast, no scatter); "scatter" is the naive scatter-add path
+    # (kept for A/B benchmarking and as a reference semantics oracle)
+    column_mode: str = "gather"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,6 +105,10 @@ class AssemblyTables:
     sphi_map: np.ndarray  # [nl_fe, qs, nl_map]
     sdphi_map: np.ndarray  # [nl_fe, qs, nl_map, cdim]
     sphi_fe: np.ndarray  # [nl_fe, qs, nl_fe]
+    # node -> incident (cell, local-node) flat slots c*nl + l, padded to the
+    # max valence; inc_mask zeroes the padding (column_mode="gather")
+    inc_slot: np.ndarray  # [n_nodes, vmax] int32
+    inc_mask: np.ndarray  # [n_nodes, vmax]
 
 
 def _singular_rules(cfg: AssemblyConfig, fe_degree: int, unit_sp: np.ndarray):
@@ -165,6 +174,22 @@ def build_assembly_tables(
 
     mesh = fe_space.mesh
     flip = np.where(mesh.flip_normal, -1.0, 1.0)
+
+    # incidence lists: for each node, the flat (cell, local) slots carrying it
+    flat = np.asarray(fe_space.cells_nodes, dtype=np.int64).reshape(-1)
+    n_nodes = fe_space.n_nodes
+    counts = np.bincount(flat, minlength=n_nodes)
+    vmax = int(counts.max()) if len(flat) else 1
+    inc_slot = np.zeros((n_nodes, vmax), dtype=np.int32)
+    inc_mask = np.zeros((n_nodes, vmax), dtype=np.float64)
+    fill = np.zeros(n_nodes, dtype=np.int64)
+    order = np.argsort(flat, kind="stable")
+    for slot in order:
+        j = flat[slot]
+        inc_slot[j, fill[j]] = slot
+        inc_mask[j, fill[j]] = 1.0
+        fill[j] += 1
+
     return AssemblyTables(
         cfg=cfg,
         n_nodes=fe_space.n_nodes,
@@ -181,6 +206,8 @@ def build_assembly_tables(
         sphi_map=me.shape_values(s_pts),
         sdphi_map=me.shape_grads(s_pts),
         sphi_fe=fe.shape_values(s_pts),
+        inc_slot=inc_slot,
+        inc_mask=inc_mask,
     )
 
 
@@ -307,40 +334,80 @@ def assemble_rows(
     jxw_c = jxw_p.reshape(n_chunks, cc, nq)
     cfe_c = cfe_p.reshape(n_chunks, cc, nl)
 
-    def tile_rows(xi_t, ids_t):
-        """Assemble [tile*d, n*d] block rows for one collocation tile."""
+    inc_slot = jnp.asarray(tables.inc_slot)  # [n, vmax]
+    inc_mask = jnp.asarray(tables.inc_mask, dt)  # [n, vmax]
+    n_slots = n_chunks * cc * nl
 
+    def pair_blocks(xi_t, ids_t, xqc, nrmc, jxwc, colsc):
+        """Per-chunk local blocks (V, K) [cc, nl, tile, d, d], with the
+        singular (own-cell) pairs masked out."""
+        # mask panels that carry this collocation node (singular pairs)
+        sing = jnp.any(
+            ids_t[:, None, None] == colsc[None, :, :], axis=-1
+        )  # [t, cc]
+        R = xqc[None, :, :, :] - xi_t[:, None, None, :]  # [t, cc, nq, d]
+        # masked pairs can hit R == 0 exactly (e.g. Q2 center node vs an
+        # odd-order Gauss point); substitute a dummy offset so the kernel
+        # stays finite — their contribution is zeroed below anyway
+        R = jnp.where(sing[:, :, None, None], jnp.ones_like(R), R)
+        if cfg.kernel == KERNEL_FREE_SPACE:
+            R_img = R
+        else:
+            xi_img = image_point(xi_t, cfg.wall_axis, cfg.wall_position)
+            R_img = xqc[None, :, :, :] - xi_img[:, None, None, :]
+            R_img = jnp.where(sing[:, :, None, None], jnp.ones_like(R_img), R_img)
+        G, Wn = _eval_G_Wn(cfg, R, R_img, nrmc[None, :, :, :])
+        # fold JxW into the shape values (the singular mask factorizes over
+        # q, so it applies after the contraction — cheaper than masking w)
+        wphi = jxwc[:, :, None] * phi_fe[None, :, :]  # [cc, nq, nl]
+        keep = (~sing).astype(dt).T[:, None, :, None, None]  # [cc, 1, t, 1, 1]
+        Vloc = jnp.einsum("tcqab,cql->cltab", G, wphi) * keep
+        # minus sign: exterior problem (reference `:2941-2947`)
+        Kloc = -jnp.einsum("tcqab,cql->cltab", Wn, wphi) * keep
+        return Vloc, Kloc
+
+    def tile_rows(xi_t, ids_t):
+        """Assemble ([tile, d, d*n], [tile, d, d*n]) block rows for one
+        collocation tile.
+
+        column_mode="gather" (default): the chunk scan emits dense per-cell
+        column-slot tensors (a plain stacked write), and one static incidence
+        gather-reduce maps slot (c, l) -> node column j = cells_fe[c, l].
+        No scatter anywhere — the TPU-friendly formulation.
+        """
+        if cfg.column_mode == "gather":
+
+            def chunk_step(_, inp):
+                Vloc, Kloc = pair_blocks(xi_t, ids_t, *inp)
+                return None, (
+                    Vloc.reshape(cc * nl, tile, d, d),
+                    Kloc.reshape(cc * nl, tile, d, d),
+                )
+
+            _, (Vys, Kys) = jax.lax.scan(
+                chunk_step, None, (xq_c, nrm_c, jxw_c, cfe_c)
+            )
+            Vcell = Vys.reshape(n_slots, tile, d, d)
+            Kcell = Kys.reshape(n_slots, tile, d, d)
+            m = inc_mask[:, :, None, None, None]
+            Vt = (Vcell[inc_slot] * m).sum(axis=1)  # [n, tile, d, d]
+            Kt = (Kcell[inc_slot] * m).sum(axis=1)
+            rowV = Vt.transpose(1, 2, 3, 0).reshape(tile, d, d * n)
+            rowK = Kt.transpose(1, 2, 3, 0).reshape(tile, d, d * n)
+            return rowV, rowK
+
+        # ---- column_mode="scatter": reference semantics oracle ----
         def chunk_step(carry, inp):
             rowV, rowK = carry
             xqc, nrmc, jxwc, colsc = inp
-            # mask panels that carry this collocation node (singular pairs)
-            sing = jnp.any(
-                ids_t[:, None, None] == colsc[None, :, :], axis=-1
-            )  # [t, cc]
-            R = xqc[None, :, :, :] - xi_t[:, None, None, :]  # [t, cc, nq, d]
-            # masked pairs can hit R == 0 exactly (e.g. Q2 center node vs an
-            # odd-order Gauss point); substitute a dummy offset so the kernel
-            # stays finite — their weight is zeroed below anyway
-            R = jnp.where(sing[:, :, None, None], jnp.ones_like(R), R)
-            if cfg.kernel == KERNEL_FREE_SPACE:
-                R_img = R
-            else:
-                xi_img = image_point(xi_t, cfg.wall_axis, cfg.wall_position)
-                R_img = xqc[None, :, :, :] - xi_img[:, None, None, :]
-                R_img = jnp.where(sing[:, :, None, None], jnp.ones_like(R_img), R_img)
-            G, Wn = _eval_G_Wn(cfg, R, R_img, nrmc[None, :, :, :])
-            w = jxwc[None, :, :] * (~sing)[:, :, None].astype(dt)
-            # local blocks: [t, a, b, cc, nl]
-            Vloc = jnp.einsum("tcqab,tcq,ql->tabcl", G, w, phi_fe)
-            # minus sign: exterior problem (reference `:2941-2947`)
-            Kloc = -jnp.einsum("tcqab,tcq,ql->tabcl", Wn, w, phi_fe)
+            Vloc, Kloc = pair_blocks(xi_t, ids_t, xqc, nrmc, jxwc, colsc)
             # scatter columns: col j = b*n + colsc
             colidx = (
                 jnp.arange(d, dtype=jnp.int32)[:, None, None] * n
                 + colsc[None, :, :]
             ).reshape(-1)  # [d*cc*nl]
-            Vblk = Vloc.reshape(tile, d, d * cc * nl)
-            Kblk = Kloc.reshape(tile, d, d * cc * nl)
+            Vblk = Vloc.transpose(2, 3, 4, 0, 1).reshape(tile, d, d * cc * nl)
+            Kblk = Kloc.transpose(2, 3, 4, 0, 1).reshape(tile, d, d * cc * nl)
             rowV = rowV.at[:, :, colidx].add(Vblk)
             rowK = rowK.at[:, :, colidx].add(Kblk)
             return (rowV, rowK), None
