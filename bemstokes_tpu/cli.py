@@ -1,0 +1,102 @@
+"""Command-line driver — the analog of the reference executables
+`bem_stokes_2d/3d [start_frame [end_frame [compose]]]` (`source/main.cc:5-74`).
+
+Usage:
+    bemstokes run   [-p params.{json,prm}] [--dim 2|3] [start [end]] [-o DIR]
+    bemstokes compose [-p params] start end [-o DIR]    # offline re-aggregation
+    bemstokes params [-p out.json] [--dim 2|3]          # write a template
+                                                        # (reference main.cc:34-37
+                                                        # auto-generates a prm)
+
+Like the reference, `run` executes the frame loop start..end and writes
+per-frame VTU + checkpoint state to the output directory; `compose` re-reads
+those dumps and aggregates composed motion (reference `composer`,
+`source/bem_stokes.cc:5951-6046`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(prog="bemstokes", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("-p", "--params", default=None, help="params .json or .prm")
+        sp.add_argument("--dim", type=int, default=3, choices=(2, 3))
+        sp.add_argument("-o", "--output-dir", default=".")
+        sp.add_argument(
+            "--platform",
+            default=None,
+            choices=("cpu", "tpu", "axon"),
+            help="force the JAX platform (overrides any environment pinning; "
+            "e.g. --platform cpu for a host-only validation run)",
+        )
+
+    run = sub.add_parser("run", help="run the frame-loop simulation")
+    common(run)
+    run.add_argument("start_frame", nargs="?", type=int, default=0)
+    run.add_argument("end_frame", nargs="?", type=int, default=None)
+
+    comp = sub.add_parser("compose", help="offline composition of saved frames")
+    common(comp)
+    comp.add_argument("start_frame", type=int)
+    comp.add_argument("end_frame", type=int)
+
+    par = sub.add_parser("params", help="write a template parameter file")
+    par.add_argument("-p", "--params", default="parameters_3d.json")
+    par.add_argument("--dim", type=int, default=3, choices=(2, 3))
+    return p
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+
+    if getattr(args, "platform", None):
+        # must happen after the jax import (environment pinning may already
+        # have selected a platform at interpreter startup) but before any
+        # computation
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .config import ProblemConfig
+    from .config_io import load_config, save_config
+
+    if args.command == "params":
+        cfg = ProblemConfig(dim=args.dim)
+        save_config(cfg, args.params)
+        print(f"wrote template parameters to {args.params}")
+        return 0
+
+    if args.params:
+        cfg = load_config(args.params, dim=args.dim)
+        cfg.dim = args.dim
+    else:
+        # reference behavior: missing parameter file -> write the template
+        # and proceed with defaults (source/main.cc:34-37)
+        cfg = ProblemConfig(dim=args.dim)
+        path = os.path.join(args.output_dir, f"parameters_{args.dim}d.json")
+        os.makedirs(args.output_dir, exist_ok=True)
+        save_config(cfg, path)
+        print(f"no parameter file given; wrote defaults to {path}", file=sys.stderr)
+
+    from .swimmer import SwimmerSimulation
+
+    sim = SwimmerSimulation(cfg, output_dir=args.output_dir)
+    if args.command == "run":
+        end = args.end_frame if args.end_frame is not None else cfg.n_frames
+        sim.run(args.start_frame, end)
+    else:
+        sim.compose(args.start_frame, args.end_frame)
+    # echo the fully-expanded parameters (used_parameters_*.prm analog)
+    save_config(cfg, os.path.join(args.output_dir, f"used_parameters_{args.dim}d.json"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,6 +38,34 @@ class QuadratureConfig:
 
 
 @dataclasses.dataclass
+class CylinderConfig:
+    """Cylindrical wall parameters (reference `source/bem_stokes.cc:328-360`,
+    built by `create_cylindrical_wall` `:887-1156`)."""
+
+    create: bool = False
+    import_mesh: bool = False
+    apply_manifold: bool = True
+    flip_normal: bool = False
+    radius: float = 1.0
+    height: float = 2.0  # reference spells it "Heigth"
+    direction: tuple = (0.0, 0.0, 1.0)
+    point_on_axis: tuple = (0.0, 0.0, 0.0)
+    wall_type: str = "no_slip"
+    mesh_filename: str = "cylinder"
+
+
+@dataclasses.dataclass
+class WallRefinementConfig:
+    """Local wall refinement (reference `refine_walls`,
+    `source/bem_stokes.cc:1478-1519`)."""
+
+    gradual: bool = False
+    threshold: float = 1.0
+    distance_from_center: float = 2.0
+    center: tuple = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass
 class ProblemConfig:
     dim: int = 3
     fe_degree: int = 1
@@ -66,11 +94,34 @@ class ProblemConfig:
     input_grid_path: str = "../debug_grids/"
     input_grid_base_name: str = "sphere_mesh_3d_"
     input_grid_format: str = "msh"
+    input_velocity_path: str = "../squirmer_vel/"
+    squirming_velocity_basename: str = "squirming_velocity_"
     quadrature: QuadratureConfig = dataclasses.field(default_factory=QuadratureConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     walls: tuple = dataclasses.field(default_factory=tuple)  # of WallConfig
     create_box: bool = False
     first_index_box: int = 0
+    cylinder: CylinderConfig = dataclasses.field(default_factory=CylinderConfig)
+    wall_refinement: WallRefinementConfig = dataclasses.field(
+        default_factory=WallRefinementConfig
+    )
+    # flagellum / bacterium modelling flags (reference `:216-218, 320-322, 453`)
+    use_flagellum_handler: bool = False
+    flagellum_params: dict = dataclasses.field(default_factory=dict)
+    spherical_head: bool = False
+    imposed_rotation_as_flagellum_shape: bool = False
+    imposed_translation_as_flagellum_shape: bool = False
+    angle_for_imposed_stuff: float = 0.0
+    # built-in sphere generation (reference `:288-290`)
+    build_sphere_in_code: bool = False
+    internal_sphere_refinements: int = 3
+    # convergence-study controls (reference `:210, 268`)
+    n_cycles: int = 4
+    num_convergence_cycles: int = 3
+    # two-sphere analysis (reference `:212-214`)
+    two_spheres: bool = False
+    spheres_distance: float = 2.2
+    extra_debug_info: bool = False
     # numerics
     dtype: str = "float64"
     row_tile: int = 32

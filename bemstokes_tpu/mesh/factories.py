@@ -100,6 +100,89 @@ def add_walls_to_mesh(mesh: SurfaceMesh, cfg) -> SurfaceMesh:
                 mesh = mesh.merged_with(
                     create_wall(w.position, w.span, w.wall_type, w.flip_normal)
                 )
+    cyl = getattr(cfg, "cylinder", None)
+    if cyl is not None and (cyl.create or cyl.import_mesh):
+        if cyl.import_mesh:
+            from .io import read_mesh
+
+            cw = read_mesh(cyl.mesh_filename, dim=3)
+            cw = SurfaceMesh(
+                cw.vertices,
+                cw.cells,
+                np.full(cw.n_cells, WALL_TYPE_TO_MATERIAL[cyl.wall_type], np.int32),
+                np.full(cw.n_cells, bool(cyl.flip_normal)),
+            )
+        else:
+            cw = create_cylindrical_wall(
+                cyl.radius,
+                cyl.height,
+                cyl.direction,
+                cyl.point_on_axis,
+                cyl.wall_type,
+                cyl.flip_normal,
+            )
+        mesh = mesh.merged_with(cw)
+    return mesh
+
+
+def create_cylindrical_wall(
+    radius: float = 1.0,
+    height: float = 2.0,
+    direction=(0.0, 0.0, 1.0),
+    point_on_axis=(0.0, 0.0, 0.0),
+    wall_type: str = "no_slip",
+    flip_normal: bool = False,
+    n_around: int = 8,
+    n_length: int = 4,
+    refinements: int = 0,
+) -> SurfaceMesh:
+    """Open cylindrical wall tube (reference `create_cylindrical_wall`,
+    `source/bem_stokes.cc:887-1156`): axis `direction` through
+    `point_on_axis`, extending ±height/2.  Parametric normals point inward
+    (toward the axis, the fluid side for a container); `flip_normal`
+    reverses.  Refinement snaps to the cylinder via CylindricalManifold."""
+    from .refine import CylindricalManifold
+
+    d = np.asarray(direction, dtype=np.float64)
+    d = d / np.linalg.norm(d)
+    p0 = np.asarray(point_on_axis, dtype=np.float64)
+    # orthonormal frame (e1, e2, d)
+    ref = np.array([1.0, 0.0, 0.0]) if abs(d[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    e1 = np.cross(d, ref)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(d, e1)
+
+    z = np.linspace(-height / 2.0, height / 2.0, n_length + 1)
+    phi = np.linspace(0.0, 2.0 * np.pi, n_around, endpoint=False)
+    verts = np.empty(((n_length + 1) * n_around, 3))
+    for i, zi in enumerate(z):
+        for j, pj in enumerate(phi):
+            verts[i * n_around + j] = (
+                p0 + zi * d + radius * (np.cos(pj) * e1 + np.sin(pj) * e2)
+            )
+    cells = []
+    for i in range(n_length):
+        for j in range(n_around):
+            j2 = (j + 1) % n_around
+            v00 = i * n_around + j
+            v10 = i * n_around + j2
+            v01 = (i + 1) * n_around + j
+            v11 = (i + 1) * n_around + j2
+            # ordering (z, phi) lexicographic: t_u x t_v = d x phi_hat,
+            # which points toward the axis (the fluid side of a container)
+            cells.append([v00, v01, v10, v11])
+    cells = np.asarray(cells, dtype=np.int32)
+    mat = np.full(len(cells), WALL_TYPE_TO_MATERIAL[wall_type], dtype=np.int32)
+    mesh = SurfaceMesh(
+        verts,
+        cells,
+        mat,
+        np.full(len(cells), bool(flip_normal)),
+    )
+    if refinements:
+        mesh = refine_uniform(
+            mesh, CylindricalManifold(direction=d, point_on_axis=p0), times=refinements
+        )
     return mesh
 
 
