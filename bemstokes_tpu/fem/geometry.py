@@ -89,7 +89,9 @@ def support_points(
     Each FE node can be seen from several cells; for a continuous mapping all
     agree, so a scatter-mean is exact."""
     me = reference_element(map_space.cell_dim, map_space.degree)
-    phi = jnp.asarray(me.shape_values(fe_space.unit_support_points))  # [nl_fe, nl_map]
+    phi = jnp.asarray(
+        me.shape_values(fe_space.unit_support_points), euler.dtype
+    )  # [nl_fe, nl_map]
     cell_pos = jnp.einsum(
         "lm,cmd->cld", phi, euler[map_space.cells_nodes]
     )  # [Nc, nl_fe, dim]

@@ -153,11 +153,22 @@ def read_mesh(
 ) -> SurfaceMesh:
     """Read a mesh file; `force_material` overrides every cell's material id
     (the reference resets the swimmer grid to body material 0 after reading,
-    `source/bem_stokes.cc:515-521` — walls add their own materials later)."""
-    if path.endswith(".msh"):
-        mesh = read_msh(path, dim)
-    elif path.endswith(".inp"):
-        mesh = read_inp(path, dim)
+    `source/bem_stokes.cc:515-521` — walls add their own materials later).
+
+    Uses the native C++ parser (native/meshcore.cpp) when available — the
+    frame loop re-reads a gait mesh every frame, so parsing sits on the
+    critical path; falls back to the pure-numpy readers."""
+    if path.endswith(".msh") or path.endswith(".inp"):
+        from .._native import read_mesh_native
+
+        out = read_mesh_native(path, dim, path.rsplit(".", 1)[1])
+        if out is not None:
+            verts, cells, mats = out
+            mesh = SurfaceMesh(verts, cells, mats)
+        elif path.endswith(".msh"):
+            mesh = read_msh(path, dim)
+        else:
+            mesh = read_inp(path, dim)
     elif path.endswith(".vtk"):
         mesh = read_vtk(path, dim)
     else:

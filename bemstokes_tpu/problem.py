@@ -221,26 +221,33 @@ class StokesBEMProblem:
     # ------------------------------------------------------------------
     def solve_frame(self, euler, shape_velocities_flat):
         """Assemble + solve one frame. Returns dict of results (host)."""
+        from .utils import timers
+
         cfg = self.cfg
         if not cfg.monolithic:
             return self._solve_frame_resistance(euler, shape_velocities_flat)
-        A, rhs, ops, diag = self._jit_pipeline(euler, shape_velocities_flat)
+        with timers.scope("Assemble") as _:
+            A, rhs, ops, diag = self._jit_pipeline(euler, shape_velocities_flat)
+            jax.block_until_ready(A)
 
-        if cfg.solver.solve_directly:
-            x = lu_solve_dense(lu_factor_dense(A), rhs)
-            iters = 1
-        else:
-            refactored = self.preconditioner.maybe_refactor(A, 10**9)
-            x, info = gmres(
-                lambda v: A @ v,
-                rhs,
-                precond=self.preconditioner.apply,
-                restart=cfg.solver.gmres_restart,
-                tol=cfg.solver.tolerance,
-                max_restarts=4,
-            )
-            iters = int(info["iterations"])
-            self.preconditioner.maybe_refactor(A, iters)
+        with timers.scope("LAC Solve"):
+            if cfg.solver.solve_directly:
+                x = lu_solve_dense(lu_factor_dense(A), rhs)
+                iters = 1
+            else:
+                with timers.scope("DirectPreconditioner Refactorisation"):
+                    self.preconditioner.maybe_refactor(A, 10**9)
+                x, info = gmres(
+                    lambda v: A @ v,
+                    rhs,
+                    precond=self.preconditioner.apply,
+                    restart=cfg.solver.gmres_restart,
+                    tol=cfg.solver.tolerance,
+                    max_restarts=4,
+                )
+                iters = int(info["iterations"])
+                self.preconditioner.maybe_refactor(A, iters)
+            jax.block_until_ready(x)
 
         forces, wall_vel, rigid_vel = split_monolithic_solution(
             x, ops["sel_V"], self.num_rigid, cfg.assemble_scaling

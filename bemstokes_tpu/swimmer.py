@@ -158,10 +158,16 @@ class SwimmerSimulation:
             )
         self.state.frame = start_frame
 
+        from .utils import timers
+
+        run_scope = timers.scope("Run")
+        run_scope.__enter__()
         for frame in range(start_frame, end_frame, cfg.delta_frame):
-            euler = self.euler_for_frame(frame)
-            sdot = self.shape_velocities(frame, euler)
-            res = self.problem.solve_frame(euler, sdot)
+            with timers.scope("BEM Reinitialisation"):
+                euler = self.euler_for_frame(frame)
+                sdot = self.shape_velocities(frame, euler)
+            with timers.scope("Assemble + LAC Solve"):
+                res = self.problem.solve_frame(euler, sdot)
             U = res["rigid_velocities"]
 
             if cfg.time_integration == "Heun":
@@ -188,6 +194,9 @@ class SwimmerSimulation:
             self.history.append(
                 dict(frame=frame, rigid_velocities=U.tolist())
             )
+        run_scope.__exit__(None, None, None)
+        # end-of-run timer summary (reference TimeMonitor::summarize `:5882`)
+        print(timers.summary())
         return self.history
 
     # ------------------------------------------------------------------
