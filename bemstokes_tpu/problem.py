@@ -59,6 +59,28 @@ def _dtype_of(cfg: ProblemConfig):
     return jnp.float64 if cfg.dtype == "float64" else jnp.float32
 
 
+def _resolve_manifold(cfg: ProblemConfig):
+    """Body manifold for curved high-order mapping nodes (reference attaches
+    SphericalManifold/CylindricalManifold in `read_domain`,
+    `source/bem_stokes.cc:609-887`)."""
+    kind = getattr(cfg, "body_manifold", "none")
+    if kind in (None, "none", ""):
+        return None
+    from .mesh.refine import CylindricalManifold, SphericalManifold
+
+    center = getattr(cfg, "body_manifold_center", (0.0, 0.0, 0.0))
+    radius = getattr(cfg, "body_manifold_radius", None)
+    if kind == "sphere":
+        return SphericalManifold(center[: cfg.dim], radius=radius)
+    if kind == "cylinder":
+        return CylindricalManifold(
+            direction=cfg.cylinder.direction,
+            point_on_axis=cfg.cylinder.point_on_axis,
+            radius=radius,
+        )
+    raise ValueError(f"unknown body_manifold {kind!r}")
+
+
 class StokesBEMProblem:
     """Host-side orchestration for one mesh topology.
 
@@ -68,9 +90,17 @@ class StokesBEMProblem:
     compiled executable per stage.
     """
 
-    def __init__(self, mesh: SurfaceMesh, config: ProblemConfig | None = None):
+    def __init__(
+        self,
+        mesh: SurfaceMesh,
+        config: ProblemConfig | None = None,
+        manifold=None,
+    ):
         self.cfg = config or ProblemConfig()
         self.mesh = mesh
+        self.manifold = (
+            manifold if manifold is not None else _resolve_manifold(self.cfg)
+        )
         self.dim = mesh.dim
         self.fe_space = build_scalar_space(mesh, self.cfg.fe_degree)
         self.map_space = build_scalar_space(mesh, self.cfg.map_degree)
@@ -128,7 +158,9 @@ class StokesBEMProblem:
     def initial_euler(self) -> jnp.ndarray:
         from .fem.geometry import euler_from_mesh
 
-        return jnp.asarray(euler_from_mesh(self.mesh.vertices, self.map_space))
+        return jnp.asarray(
+            euler_from_mesh(self.mesh.vertices, self.map_space, self.manifold)
+        )
 
     def force_pole_point(self, com_body):
         if self.cfg.force_pole == "Baricenter":

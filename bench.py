@@ -165,6 +165,9 @@ def main():
                 grid_type="ImposedVelocity",
                 imposed_component=0,
                 force_pole="Origin",
+                map_degree=4,
+                body_manifold="sphere",
+                quadrature=QuadratureConfig(order=6, singular_order=9),
                 solver=SolverConfig(solve_directly=True),
                 dtype="float64",
             )

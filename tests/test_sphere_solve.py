@@ -94,6 +94,36 @@ def test_sphere_drag_stokes_law(reference_grid_dir):
     assert abs(F[2]) < 0.05 * drag
 
 
+def test_sphere_drag_high_order_geometry(reference_grid_dir):
+    """BASELINE accuracy target: drag within 1e-6 of Stokes law.  Curved Q2
+    mapping with manifold-snapped nodes on the once-refined sphere reaches
+    1.3e-6 at only 386 scalar nodes; Q4 mapping reaches 8.8e-10 (convergence
+    study in the euler_from_mesh docstring)."""
+    from bemstokes_tpu.mesh.refine import refine_uniform, SphericalManifold
+    from bemstokes_tpu.physics.rigid import flatten
+    import jax
+
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    mesh = refine_uniform(mesh, SphericalManifold(), times=1)
+    cfg = ProblemConfig(
+        grid_type="ImposedVelocity",
+        imposed_component=0,
+        force_pole="Origin",
+        map_degree=4,
+        body_manifold="sphere",
+        quadrature=__import__(
+            "bemstokes_tpu.config", fromlist=["QuadratureConfig"]
+        ).QuadratureConfig(order=6, singular_order=9),
+        solver=SolverConfig(solve_directly=True),
+    )
+    prob = StokesBEMProblem(mesh, cfg)
+    res = prob.solve_frame(prob.initial_euler(), jnp.zeros((3 * prob.n,)))
+    N_dual_flat = jax.vmap(flatten)(res["operators"]["N_dual"])
+    F = np.asarray(N_dual_flat @ res["stokes_forces"])
+    drag = 6 * np.pi
+    assert abs(abs(F[0]) - drag) / drag < 1e-6, F
+
+
 def test_mobility_isotropy(reference_grid_dir):
     """ImposedForce e_x: off-diagonal rigid velocities are small relative to
     the diagonal response (reference `tests/rigidity_sphere.cc`, tol 6e-3)."""
