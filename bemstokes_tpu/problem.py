@@ -267,18 +267,34 @@ class StokesBEMProblem:
                 x = lu_solve_dense(lu_factor_dense(A), rhs)
                 iters = 1
             else:
-                with timers.scope("DirectPreconditioner Refactorisation"):
-                    self.preconditioner.maybe_refactor(A, 10**9)
+                ptype = cfg.solver.preconditioner_type
+                if ptype == "Direct":
+                    # stale-LU with refactor-on-iteration-trigger semantics
+                    with timers.scope("DirectPreconditioner Refactorisation"):
+                        self.preconditioner.maybe_refactor(A, 10**9)
+                    precond = self.preconditioner.apply
+                else:
+                    from .la.preconditioners import build_preconditioner
+
+                    bw = (
+                        cfg.solver.bandwith
+                        if cfg.solver.bandwith_preconditioner
+                        else None
+                    )
+                    precond = build_preconditioner(
+                        A, ptype, bandwith=bw
+                    ).apply
                 x, info = gmres(
                     lambda v: A @ v,
                     rhs,
-                    precond=self.preconditioner.apply,
+                    precond=precond,
                     restart=cfg.solver.gmres_restart,
                     tol=cfg.solver.tolerance,
                     max_restarts=4,
                 )
                 iters = int(info["iterations"])
-                self.preconditioner.maybe_refactor(A, iters)
+                if ptype == "Direct":
+                    self.preconditioner.maybe_refactor(A, iters)
             jax.block_until_ready(x)
 
         forces, wall_vel, rigid_vel = split_monolithic_solution(
