@@ -1,0 +1,136 @@
+"""Hanging-node constraints for locally refined quad surface meshes.
+
+The reference gets these from deal.II (`DoFTools::make_hanging_node_constraints`,
+reference `source/bem_stokes.cc:1654-1656`) and bakes them into the system:
+constrained rows of the monolithic matrix carry the interpolation identity
+instead of a collocated BIE row (`:2970-2995`, sparsity `:1661-1712`).
+
+Array-first equivalent: detection is purely topological — a vertex m hangs on
+a parent edge (a, b) iff the half-edges (a, m) and (m, b) each belong to
+exactly one cell (the refinement front) AND (a, b) itself is still an edge of
+some (coarser) cell.  On a conforming closed surface every edge has two
+incident cells, so there are no false positives; on wall meshes with boundary,
+true boundary chains fail the (a, b)-is-an-edge test.
+
+Constraints are Q1 (vertex) constraints with weights (1/2, 1/2); chained
+constraints from multi-level fronts are resolved to unconstrained masters.
+Degree >= 2 field spaces on non-conforming meshes are not supported yet.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .surface_mesh import SurfaceMesh
+
+_QUAD_EDGES = ((0, 1), (2, 3), (0, 2), (1, 3))  # lexicographic local corners
+
+
+@dataclasses.dataclass(frozen=True)
+class HangingConstraints:
+    """slave node h ->  u_h = sum_k weights[h, k] * u[masters[h, k]]."""
+
+    slaves: np.ndarray  # [H] int32 scalar node ids
+    masters: np.ndarray  # [H, M] int32
+    weights: np.ndarray  # [H, M] float64
+
+    @property
+    def n(self) -> int:
+        return len(self.slaves)
+
+
+def hanging_node_constraints(mesh: SurfaceMesh) -> HangingConstraints:
+    """Detect hanging vertices of a (possibly locally refined) quad mesh."""
+    if mesh.cells.shape[1] != 4:
+        # line cells (2D problems) always refine conformingly
+        return HangingConstraints(
+            np.zeros(0, np.int32), np.zeros((0, 2), np.int32), np.zeros((0, 2))
+        )
+    edge_count: dict[tuple[int, int], int] = {}
+    for cell in mesh.cells:
+        for la, lb in _QUAD_EDGES:
+            a, b = int(cell[la]), int(cell[lb])
+            key = (a, b) if a < b else (b, a)
+            edge_count[key] = edge_count.get(key, 0) + 1
+
+    # vertex -> neighbors over single-cell edges (refinement front candidates)
+    front_nbrs: dict[int, list[int]] = {}
+    for (a, b), cnt in edge_count.items():
+        if cnt == 1:
+            front_nbrs.setdefault(a, []).append(b)
+            front_nbrs.setdefault(b, []).append(a)
+
+    # NOTE on the between-ness filter: for a true hanging triple {a, m, b}
+    # all three edges (a,b), (a,m), (m,b) exist with count 1, so topology
+    # alone can't tell the slave m from the endpoints a, b.  The slave is the
+    # vertex that lies BETWEEN the other two: |am| + |mb| is within a hair of
+    # |ab| (manifold projection bends the half-edges slightly off the chord),
+    # while an endpoint candidate overshoots by ~50%.
+    V = mesh.vertices
+    raw: dict[int, tuple[int, int]] = {}
+    for m, nbrs in front_nbrs.items():
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                a, b = nbrs[i], nbrs[j]
+                key = (a, b) if a < b else (b, a)
+                if key not in edge_count:
+                    continue
+                lam = np.linalg.norm(V[a] - V[m])
+                lmb = np.linalg.norm(V[m] - V[b])
+                lab = np.linalg.norm(V[a] - V[b])
+                if lam + lmb <= 1.05 * lab:
+                    raw[m] = (a, b)
+
+    # resolve chains: a master that is itself a slave expands to its masters
+    def expand(node: int, weight: float, acc: dict[int, float], depth=0):
+        if node in raw and depth < 8:
+            for parent in raw[node]:
+                expand(parent, 0.5 * weight, acc, depth + 1)
+        else:
+            acc[node] = acc.get(node, 0.0) + weight
+
+    slaves, masters, weights = [], [], []
+    for m, (a, b) in sorted(raw.items()):
+        acc: dict[int, float] = {}
+        expand(a, 0.5, acc)
+        expand(b, 0.5, acc)
+        slaves.append(m)
+        masters.append(list(acc.keys()))
+        weights.append(list(acc.values()))
+    H = len(slaves)
+    if H == 0:
+        return HangingConstraints(
+            np.zeros(0, np.int32), np.zeros((0, 2), np.int32), np.zeros((0, 2))
+        )
+    M = max(len(m) for m in masters)
+    mast = np.zeros((H, M), dtype=np.int32)
+    wts = np.zeros((H, M))
+    for i, (ms, ws) in enumerate(zip(masters, weights)):
+        mast[i, : len(ms)] = ms
+        wts[i, : len(ws)] = ws
+    return HangingConstraints(np.asarray(slaves, np.int32), mast, wts)
+
+
+def apply_hanging_constraints_monolithic(A, rhs, hc: HangingConstraints, n, d):
+    """Overwrite the d constrained rows per hanging node with the
+    interpolation identity u_h - sum w_k u_{m_k} = 0 (reference `:2970-2995`).
+    Jit-compatible; `hc` arrays close over as constants."""
+    import jax.numpy as jnp
+
+    if hc.n == 0:
+        return A, rhs
+    comp = np.arange(d)[:, None] * n  # [d, 1]
+    rows = (hc.slaves[None, :] + comp).reshape(-1)  # [d*H]
+    A = A.at[rows, :].set(0.0)
+    A = A.at[rows, rows].set(1.0)
+    cols = (hc.masters[None, :, :] + comp[:, :, None]).reshape(-1)  # [d*H*M]
+    vals = -jnp.asarray(
+        np.broadcast_to(hc.weights[None], (d, *hc.weights.shape)).reshape(-1),
+        A.dtype,
+    )
+    rr = np.repeat(rows, hc.masters.shape[1])
+    A = A.at[rr, cols].add(vals)
+    rhs = rhs.at[rows].set(0.0)
+    return A, rhs

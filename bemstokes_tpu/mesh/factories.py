@@ -195,11 +195,10 @@ def refine_walls(
     max_rounds: int = 10,
 ) -> SurfaceMesh:
     """Refine no-slip / free-surface wall cells near `center` until their
-    diameter falls under `threshold` (reference `refine_walls`).
-
-    NOTE: filtered refinement creates hanging nodes at the refinement front;
-    until the constraint layer lands this refines whole walls uniformly when
-    any of their cells triggers (conforming but coarser-grained)."""
+    diameter falls under `threshold` (reference `refine_walls`,
+    `source/bem_stokes.cc:1478-1519`).  The refinement is LOCAL: only
+    triggered cells split, and the resulting hanging nodes are handled by
+    `mesh.constraints.hanging_node_constraints` in the solve."""
     center = np.asarray(center, dtype=np.float64)
     for _ in range(max_rounds):
         verts = mesh.vertices[mesh.cells]  # [Nc, 4, 3]
@@ -215,27 +214,5 @@ def refine_walls(
         trigger = is_wall & (dist < max_distance) & (diameters > thr)
         if not np.any(trigger):
             break
-        # conforming variant: refine every cell of the triggered materials
-        mats = np.unique(mesh.material_id[trigger])
-        refine_set = np.isin(mesh.material_id, mats)
-        if refine_set.all():
-            mesh = refine_uniform(mesh)
-        else:
-            # refine triggered walls only; body cells untouched => hanging
-            # nodes can only appear on wall/wall interfaces of the SAME
-            # material, which uniform per-material refinement avoids
-            sub_keep = SurfaceMesh(
-                mesh.vertices,
-                mesh.cells[~refine_set],
-                mesh.material_id[~refine_set],
-                mesh.flip_normal[~refine_set],
-            )
-            sub_ref = SurfaceMesh(
-                mesh.vertices,
-                mesh.cells[refine_set],
-                mesh.material_id[refine_set],
-                mesh.flip_normal[refine_set],
-            )
-            sub_ref = refine_uniform(sub_ref)
-            mesh = sub_keep.merged_with(sub_ref)
+        mesh = refine_uniform(mesh, cell_filter=trigger)
     return mesh

@@ -149,6 +149,15 @@ class StokesBEMProblem:
             np.float64
         )
 
+        from .mesh.constraints import hanging_node_constraints
+
+        self.hanging = hanging_node_constraints(mesh)
+        if self.hanging.n and self.cfg.fe_degree != 1:
+            raise NotImplementedError(
+                "hanging-node constraints are Q1-only; refine conformingly or "
+                "use fe_degree=1 on locally refined meshes"
+            )
+
         self.preconditioner = LUPreconditioner(
             self.cfg.solver.refactor_iteration_trigger
         )
@@ -231,6 +240,12 @@ class StokesBEMProblem:
             imposed_component=cfg.imposed_component,
             assemble_scaling=cfg.assemble_scaling,
         )
+        if self.hanging.n:
+            from .mesh.constraints import apply_hanging_constraints_monolithic
+
+            A, rhs = apply_hanging_constraints_monolithic(
+                A, rhs, self.hanging, n, d
+            )
         diagnostics = dict(
             mass_body=mass_body,
             com_body=com_body,
