@@ -80,6 +80,11 @@ class AssemblyConfig:
     # gather (TPU-fast, no scatter); "scatter" is the naive scatter-add path
     # (kept for A/B benchmarking and as a reference semantics oracle)
     column_mode: str = "gather"
+    # tile-body backend: "jax" (XLA-fused) or "pallas" (hand-fused kernel,
+    # ops.pallas_assemble; dim-3 free-space only, other configs fall back).
+    # "pallas_interpret" runs the Pallas kernel in interpreter mode (CPU
+    # testing of the exact kernel semantics).
+    backend: str = "jax"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -382,6 +387,41 @@ def assemble_rows(
         gather-reduce maps slot (c, l) -> node column j = cells_fe[c, l].
         No scatter anywhere — the TPU-friendly formulation.
         """
+        use_pallas = (
+            cfg.backend in ("pallas", "pallas_interpret")
+            and d == 3
+            and cfg.kernel == KERNEL_FREE_SPACE
+        )
+        if use_pallas and cfg.column_mode == "gather":
+            from .pallas_assemble import pallas_tile_slots
+
+            # singular mask per (chunk, cell, row): row node in the cell
+            keep = jnp.logical_not(
+                jnp.any(cfe_c[:, :, :, None] == ids_t[None, None, None, :], axis=2)
+            ).astype(dt)  # [n_chunks, cc, tile]
+            wphi_c = jxw_c[..., None] * phi_fe[None, None]  # [nch, cc, nq, nl]
+            Vs, Ks = pallas_tile_slots(
+                xi_t,
+                xq_c,
+                nrm_c,
+                wphi_c,
+                keep,
+                C=cc,
+                nq=nq,
+                nl=nl,
+                interpret=(cfg.backend == "pallas_interpret"),
+            )  # [n_slots, 9, tile] each
+            m = inc_mask[:, :, None, None]
+            Vt = (Vs[inc_slot] * m).sum(axis=1)  # [n, 9, tile]
+            Kt = (Ks[inc_slot] * m).sum(axis=1)
+            rowV = Vt.reshape(n, d, d, tile).transpose(3, 1, 2, 0).reshape(
+                tile, d, d * n
+            )
+            rowK = Kt.reshape(n, d, d, tile).transpose(3, 1, 2, 0).reshape(
+                tile, d, d * n
+            )
+            return rowV, rowK
+
         if cfg.column_mode == "gather":
 
             def chunk_step(_, inp):

@@ -375,10 +375,12 @@ class StokesBEMProblem:
         vel_map = (euler_next - euler_now) / dt_step  # [n_map, d]
         if self.cfg.fe_degree == self.cfg.map_degree:
             return flatten(vel_map)
-        # L2-project between spaces via the mass solve
-        raise NotImplementedError(
-            "FE/map degree mismatch projection lands with the Q2 milestone"
-        )
+        # degree mismatch: evaluate the map-space velocity field at the FE
+        # support points (nodal interpolation — exact whenever the gait
+        # velocity is polynomial of map degree on each cell; the reference
+        # instead L2-projects via a mass solve, `source/bem_stokes.cc:
+        # 2145-2242`, which agrees at these collocation semantics)
+        return flatten(support_points(vel_map, self.map_space, self.fe_space))
 
 
 def load_frame_mesh(cfg: ProblemConfig, frame: int) -> SurfaceMesh:

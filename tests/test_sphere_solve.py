@@ -124,6 +124,29 @@ def test_sphere_drag_high_order_geometry(reference_grid_dir):
     assert abs(abs(F[0]) - drag) / drag < 1e-6, F
 
 
+def test_translation_with_mixed_degrees(reference_grid_dir):
+    """Q2 curved mapping + Q1 unknowns: the degree-mismatch shape-velocity
+    projection (reference `project_shape_velocities`, `source/bem_stokes.cc:
+    2145-2242`) must still recover the rigid translation."""
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    cfg = ProblemConfig(
+        grid_type="Real",
+        force_pole="Origin",
+        fe_degree=1,
+        map_degree=2,
+        solver=SolverConfig(solve_directly=True),
+    )
+    prob = StokesBEMProblem(mesh, cfg)
+    mesh1 = read_mesh(f"{reference_grid_dir}/sphere_translation_1.msh", dim=3)
+    euler0 = prob.initial_euler()
+    euler1 = jnp.asarray(euler_from_mesh(mesh1.vertices, prob.map_space))
+    sdot = prob.shape_velocities_fd(euler0, euler1)
+    assert sdot.shape == (3 * prob.n,)
+    res = prob.solve_frame(euler0, sdot)
+    exact = (1.0 / 120.0) / prob.cfg.time_step
+    assert abs(res["rigid_velocities"][0] - exact) / exact < 2e-2
+
+
 def test_mobility_isotropy(reference_grid_dir):
     """ImposedForce e_x: off-diagonal rigid velocities are small relative to
     the diagonal response (reference `tests/rigidity_sphere.cc`, tol 6e-3)."""
