@@ -104,7 +104,10 @@ def support_points(
 
 
 def euler_from_mesh(
-    mesh_vertices: np.ndarray, map_space: ScalarSpace, manifold=None
+    mesh_vertices: np.ndarray,
+    map_space: ScalarSpace,
+    manifold=None,
+    body_cell_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Initial euler vector (node positions) from raw mesh vertices
     (VectorTools::get_position_vector equivalent).
@@ -112,8 +115,12 @@ def euler_from_mesh(
     With a `manifold` (an object with `project(pts, parent_pts)`, see
     `mesh.refine`), the higher-order map nodes of every cell are placed ON the
     manifold instead of on the bilinear cell — deal.II's MappingQ-on-manifold
-    semantics (the reference attaches manifolds in `read_domain`,
-    `source/bem_stokes.cc:609-887`).  Curved high-order geometry is what takes
+    semantics (the reference attaches manifolds per manifold-id, scoped to the
+    body cells, in `read_domain`, `source/bem_stokes.cc:609-887`).
+    `body_cell_mask` [Nc] bool restricts the manifold to the body cells; on a
+    mixed body+wall mesh nodes of non-body cells keep their bilinear
+    positions (a body-corner node shared with a wall still snaps — it lies on
+    the manifold by construction).  Curved high-order geometry is what takes
     the sphere-drag validation from O(1e-2) to the 1e-6 BASELINE target:
     measured drag errors on the unit sphere are 2.7e-3 (Q1, snapped vertices),
     1.3e-6 (Q2 map @ 386 nodes), 8.3e-8 (Q2 map, one more refinement),
@@ -121,23 +128,33 @@ def euler_from_mesh(
     pos = map_space.node_positions(mesh_vertices)
     if manifold is None:
         return pos
-    if getattr(manifold, "radius", None) is not None:
-        # exact analytic manifold: snap every map node onto it (mesh files
-        # carry only approximate vertex positions)
-        return manifold.snap(pos)
     mesh = map_space.mesh
+    if body_cell_mask is None:
+        from ..mesh.surface_mesh import MATERIAL_BODY
+
+        body_cell_mask = np.asarray(mesh.material_id) == MATERIAL_BODY
+    body_cell_mask = np.asarray(body_cell_mask, dtype=bool)
+    # nodes carried by at least one body cell are manifold nodes
+    node_on_body = np.zeros(pos.shape[0], dtype=bool)
+    node_on_body[map_space.cells_nodes[body_cell_mask].ravel()] = True
+    if getattr(manifold, "radius", None) is not None:
+        # exact analytic manifold: snap the body map nodes onto it (mesh
+        # files carry only approximate vertex positions)
+        return np.where(node_on_body[:, None], manifold.snap(pos), pos)
     # per-cell: project this cell's map nodes through the manifold with the
     # cell's vertices as the parent set, then scatter-mean (cells sharing a
     # node agree because the parents share the same manifold patch)
-    cell_nodes = pos[map_space.cells_nodes]  # [Nc, nl, d]
-    parents = mesh_vertices[mesh.cells]  # [Nc, nv, d]
-    Nc, nl, d = cell_nodes.shape
+    body_cells = map_space.cells_nodes[body_cell_mask]  # [Nb, nl]
+    cell_nodes = pos[body_cells]  # [Nb, nl, d]
+    parents = mesh_vertices[mesh.cells[body_cell_mask]]  # [Nb, nv, d]
+    Nb, nl, d = cell_nodes.shape
     proj = manifold.project(
-        cell_nodes.reshape(Nc * nl, d),
+        cell_nodes.reshape(Nb * nl, d),
         np.repeat(parents, nl, axis=0),
-    ).reshape(Nc, nl, d)
+    ).reshape(Nb, nl, d)
     out = np.zeros_like(pos)
     cnt = np.zeros((pos.shape[0], 1))
-    np.add.at(out, map_space.cells_nodes.ravel(), proj.reshape(-1, d))
-    np.add.at(cnt, map_space.cells_nodes.ravel(), 1.0)
-    return out / cnt
+    np.add.at(out, body_cells.ravel(), proj.reshape(-1, d))
+    np.add.at(cnt, body_cells.ravel(), 1.0)
+    snapped = out / np.where(cnt == 0, 1.0, cnt)
+    return np.where(node_on_body[:, None], snapped, pos)

@@ -41,20 +41,40 @@ class HangingConstraints:
         return len(self.slaves)
 
 
-def hanging_node_constraints(mesh: SurfaceMesh) -> HangingConstraints:
-    """Detect hanging vertices of a (possibly locally refined) quad mesh."""
-    if mesh.cells.shape[1] != 4:
-        # line cells (2D problems) always refine conformingly
-        return HangingConstraints(
-            np.zeros(0, np.int32), np.zeros((0, 2), np.int32), np.zeros((0, 2))
-        )
+def _edge_set(mesh: SurfaceMesh) -> dict[tuple[int, int], int]:
     edge_count: dict[tuple[int, int], int] = {}
     for cell in mesh.cells:
         for la, lb in _QUAD_EDGES:
             a, b = int(cell[la]), int(cell[lb])
             key = (a, b) if a < b else (b, a)
             edge_count[key] = edge_count.get(key, 0) + 1
+    return edge_count
 
+
+def hanging_node_constraints(mesh: SurfaceMesh) -> HangingConstraints:
+    """Detect hanging vertices of a (possibly locally refined) quad mesh.
+
+    Exact path: the refiner records every edge midpoint it creates as
+    (mid, a, b) in `mesh.edge_midpoints`; a midpoint hangs iff the parent
+    edge (a, b) is still an edge of some (unrefined, coarser) cell.  The
+    geometric between-ness heuristic is only a fallback for meshes that were
+    refined outside this library, and warns when used."""
+    if mesh.cells.shape[1] != 4:
+        # line cells (2D problems) always refine conformingly
+        return HangingConstraints(
+            np.zeros(0, np.int32), np.zeros((0, 2), np.int32), np.zeros((0, 2))
+        )
+    edge_count = _edge_set(mesh)
+
+    raw: dict[int, tuple[int, int]] = {}
+    if mesh.edge_midpoints is not None:
+        for m, a, b in mesh.edge_midpoints:
+            key = (int(a), int(b)) if a < b else (int(b), int(a))
+            if key in edge_count:
+                raw[int(m)] = key
+        return _build_constraints(raw)
+
+    # ---- fallback: geometric detection for externally refined meshes ----
     # vertex -> neighbors over single-cell edges (refinement front candidates)
     front_nbrs: dict[int, list[int]] = {}
     for (a, b), cnt in edge_count.items():
@@ -67,9 +87,14 @@ def hanging_node_constraints(mesh: SurfaceMesh) -> HangingConstraints:
     # alone can't tell the slave m from the endpoints a, b.  The slave is the
     # vertex that lies BETWEEN the other two: |am| + |mb| is within a hair of
     # |ab| (manifold projection bends the half-edges slightly off the chord),
-    # while an endpoint candidate overshoots by ~50%.
+    # while an endpoint candidate overshoots by ~50%.  On coarse curved
+    # meshes (edge arc >~ 70 deg) this can miss true hanging nodes — hence
+    # the warning; prefer meshes refined by `mesh.refine`, which records
+    # exact parentage.
+    import warnings
+
     V = mesh.vertices
-    raw: dict[int, tuple[int, int]] = {}
+    matched_triples = 0
     for m, nbrs in front_nbrs.items():
         for i in range(len(nbrs)):
             for j in range(i + 1, len(nbrs)):
@@ -77,12 +102,31 @@ def hanging_node_constraints(mesh: SurfaceMesh) -> HangingConstraints:
                 key = (a, b) if a < b else (b, a)
                 if key not in edge_count:
                     continue
+                matched_triples += 1
                 lam = np.linalg.norm(V[a] - V[m])
                 lmb = np.linalg.norm(V[m] - V[b])
                 lab = np.linalg.norm(V[a] - V[b])
                 if lam + lmb <= 1.05 * lab:
-                    raw[m] = (a, b)
+                    if m in raw and raw[m] != key:
+                        warnings.warn(
+                            f"hanging node {m}: multiple parent-edge "
+                            f"candidates {raw[m]} and {key}; keeping {key}",
+                            stacklevel=2,
+                        )
+                    raw[m] = key
+    if front_nbrs and matched_triples and len(raw) < matched_triples // 3:
+        warnings.warn(
+            "geometric hanging-node detection matched few of the candidate "
+            "front triples; coarse curved meshes can defeat the between-ness "
+            "test — refine with bemstokes_tpu.mesh.refine to get exact "
+            "parent-edge records",
+            stacklevel=2,
+        )
 
+    return _build_constraints(raw)
+
+
+def _build_constraints(raw: dict[int, tuple[int, int]]) -> HangingConstraints:
     # resolve chains: a master that is itself a slave expands to its masters
     def expand(node: int, weight: float, acc: dict[int, float], depth=0):
         if node in raw and depth < 8:

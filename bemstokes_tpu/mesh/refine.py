@@ -104,6 +104,13 @@ def _refine_once(mesh: SurfaceMesh, manifold, cell_filter):
     verts = [v for v in mesh.vertices]
     edge_mid: dict[tuple[int, int], int] = {}
     new_cells, new_mats, new_flips = [], [], []
+    # exact parent-edge records (mid, a, b) — accumulated across passes so the
+    # hanging-node constraint builder never needs a geometric heuristic
+    midpoint_records = (
+        [tuple(r) for r in mesh.edge_midpoints]
+        if mesh.edge_midpoints is not None
+        else []
+    )
 
     def midpoint(a: int, b: int, parents) -> int:
         key = (min(a, b), max(a, b))
@@ -114,6 +121,7 @@ def _refine_once(mesh: SurfaceMesh, manifold, cell_filter):
             p = manifold.project(p[None, :], parents[None, :, :])[0]
         verts.append(p)
         edge_mid[key] = len(verts) - 1
+        midpoint_records.append((len(verts) - 1, key[0], key[1]))
         return edge_mid[key]
 
     refine_mask = (
@@ -153,6 +161,7 @@ def _refine_once(mesh: SurfaceMesh, manifold, cell_filter):
         np.asarray(new_cells, dtype=np.int32),
         np.asarray(new_mats, dtype=np.int32),
         np.asarray(new_flips, dtype=bool),
+        np.asarray(midpoint_records, dtype=np.int32).reshape(-1, 3),
     )
 
 

@@ -42,12 +42,17 @@ class SurfaceMesh:
     material_id: [Nc] int32
     flip_normal: [Nc] bool — cells whose parametric normal must be reversed
         (wall factories use this to aim wall normals into the fluid).
+    edge_midpoints: [M, 3] int32 rows (mid, a, b) — exact parent-edge records
+        written by `refine.refine_uniform`; the hanging-node constraint
+        builder consumes these instead of a geometric heuristic.  None on
+        meshes that never went through the refiner.
     """
 
     vertices: np.ndarray
     cells: np.ndarray
     material_id: np.ndarray
     flip_normal: np.ndarray | None = None
+    edge_midpoints: np.ndarray | None = None
 
     def __post_init__(self):
         self.vertices = np.asarray(self.vertices, dtype=np.float64)
@@ -87,4 +92,11 @@ class SurfaceMesh:
         rank[order] = np.arange(len(order))
         new_cells = rank[inverse[cells]]
         new_verts = verts[first[order]]
-        return SurfaceMesh(new_verts, new_cells, mat, flip)
+        # carry exact refinement records through the renumbering
+        recs = []
+        if self.edge_midpoints is not None and len(self.edge_midpoints):
+            recs.append(rank[inverse[self.edge_midpoints]])
+        if other.edge_midpoints is not None and len(other.edge_midpoints):
+            recs.append(rank[inverse[other.edge_midpoints + self.n_vertices]])
+        em = np.concatenate(recs).astype(np.int32) if recs else None
+        return SurfaceMesh(new_verts, new_cells, mat, flip, em)

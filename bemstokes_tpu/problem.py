@@ -157,6 +157,31 @@ class StokesBEMProblem:
                 "hanging-node constraints are Q1-only; refine conformingly or "
                 "use fe_degree=1 on locally refined meshes"
             )
+        if self.hanging.n and self.cfg.map_degree != 1:
+            # a degree >= 2 map space on a non-conforming mesh has distinct
+            # coarse/fine DoFs along the hanging edge; euler_from_mesh's
+            # scatter-mean would produce gapped quadrature geometry unless an
+            # exact manifold snap closes it
+            if not (
+                self.manifold is not None
+                and getattr(self.manifold, "radius", None) is not None
+            ):
+                raise NotImplementedError(
+                    "map_degree >= 2 on meshes with hanging nodes needs an "
+                    "exact-radius body manifold (body_manifold_radius) to "
+                    "close the map along hanging edges; use map_degree=1 "
+                    "otherwise"
+                )
+        if (
+            self.cfg.solver.preconditioner_type == "Direct"
+            and self.cfg.solver.bandwith_preconditioner
+        ):
+            # the reference AssertThrows here too (`source/bem_stokes.cc:4311`)
+            raise ValueError(
+                "Direct preconditioner cannot be band-limited; disable "
+                "bandwith_preconditioner or pick a banded type (Jacobi/SOR/"
+                "SSOR/ILU)"
+            )
 
         self.preconditioner = LUPreconditioner(
             self.cfg.solver.refactor_iteration_trigger

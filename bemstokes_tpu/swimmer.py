@@ -101,7 +101,9 @@ class SwimmerSimulation:
         frame_mesh = add_walls_to_mesh(
             self._read_frame_mesh(frame % self.cfg.n_frames), self.cfg
         )
-        euler = euler_from_mesh(frame_mesh.vertices, self.problem.map_space)
+        euler = euler_from_mesh(
+            frame_mesh.vertices, self.problem.map_space, self.problem.manifold
+        )
         Rm = self.state.rotation
         rotated = euler @ Rm.T
         euler = np.where(self.map_body_mask > 0, rotated, euler)

@@ -71,3 +71,68 @@ def test_solve_on_locally_refined_sphere(reference_grid_dir):
     hc = prob.hanging
     interp = np.einsum("hm,chm->ch", hc.weights, f[:, hc.masters])
     assert np.allclose(f[:, hc.slaves], interp, atol=1e-9)
+
+
+def test_exact_records_beat_geometric_heuristic():
+    """On a coarse, strongly curved mesh (edges subtending ~90 deg of arc)
+    the manifold-snapped midpoint overshoots the chord by ~8%, defeating the
+    old between-ness heuristic; the refiner's exact parent-edge records must
+    still find every hanging node (ADVICE r1, constraints.py:64)."""
+    from bemstokes_tpu.mesh.surface_mesh import SurfaceMesh
+
+    # two coarse quads on the unit sphere around the equator, each spanning
+    # 90 degrees of arc in both directions
+    def s(lon, lat):
+        lon, lat = np.radians(lon), np.radians(lat)
+        return [
+            np.cos(lat) * np.cos(lon),
+            np.cos(lat) * np.sin(lon),
+            np.sin(lat),
+        ]
+
+    verts = np.asarray(
+        [
+            s(-90, -45), s(0, -45), s(-90, 45), s(0, 45),  # quad A corners
+            s(90, -45), s(90, 45),  # quad B extra corners
+        ]
+    )
+    cells = np.asarray([[0, 1, 2, 3], [1, 4, 3, 5]], dtype=np.int32)
+    mesh = SurfaceMesh(verts, cells, np.zeros(2, np.int32))
+    man = SphericalManifold(radius=1.0)
+    # refine only quad A -> 3 hanging midpoints on the shared edge front
+    fine = refine_uniform(mesh, man, cell_filter=np.asarray([True, False]))
+    assert fine.edge_midpoints is not None
+    hc = hanging_node_constraints(fine)
+    # exactly one hanging node: the midpoint of the shared edge (1, 3)
+    assert hc.n == 1
+    mset = set(hc.masters[hc.weights != 0].tolist())
+    assert mset == {1, 3}
+    # verify the heuristic really would have failed here: the snapped
+    # midpoint overshoots the chord by ~1/cos(theta/4) > 1.05
+    m = int(hc.slaves[0])
+    a, b = sorted(mset)
+    lam = np.linalg.norm(fine.vertices[a] - fine.vertices[m])
+    lmb = np.linalg.norm(fine.vertices[m] - fine.vertices[b])
+    lab = np.linalg.norm(fine.vertices[a] - fine.vertices[b])
+    assert lam + lmb > 1.05 * lab
+
+
+def test_records_survive_merge(reference_grid_dir):
+    """Welding walls onto a refined swimmer renumbers vertices; the exact
+    parent-edge records must renumber along."""
+    from bemstokes_tpu.mesh.factories import create_wall
+
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    fine = refine_uniform(mesh, cell_filter=centers[:, 0] > 0.0)
+    before = hanging_node_constraints(fine)
+    merged = fine.merged_with(create_wall((0.0, 5.0, 0.0), (8.0, 0.0, 8.0)))
+    after = hanging_node_constraints(merged)
+    assert after.n == before.n > 0
+    for i in range(after.n):
+        live = after.weights[i] != 0
+        mid = (
+            after.weights[i][live][:, None]
+            * merged.vertices[after.masters[i][live]]
+        ).sum(0)
+        assert np.allclose(merged.vertices[after.slaves[i]], mid, atol=1e-12)

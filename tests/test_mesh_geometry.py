@@ -91,3 +91,30 @@ def test_q2_support_points_on_edges(reference_grid_dir):
     # all Q2 nodes lie on the cube surface: max|coord| == a/2
     a = 2.0 / np.sqrt(3.0)
     assert np.allclose(np.max(np.abs(sp), axis=1), a / 2, atol=1e-12)
+
+
+def test_manifold_snap_scoped_to_body(reference_grid_dir):
+    """A body manifold on a mixed body+wall mesh must snap only body nodes;
+    wall nodes keep their flat positions (ADVICE r1, geometry.py:106)."""
+    import jax.numpy as jnp
+    from bemstokes_tpu.config import ProblemConfig, WallConfig, SolverConfig
+    from bemstokes_tpu.mesh.factories import add_walls_to_mesh
+    from bemstokes_tpu.problem import StokesBEMProblem
+    from bemstokes_tpu.mesh.surface_mesh import MATERIAL_BODY
+
+    cfg = ProblemConfig(
+        body_manifold="sphere",
+        walls=(WallConfig(enabled=True, position=(0.0, 2.0, 0.0),
+                          span=(3.0, 0.0, 3.0)),),
+        solver=SolverConfig(solve_directly=True),
+    )
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    mesh = add_walls_to_mesh(mesh, cfg)
+    prob = StokesBEMProblem(mesh, cfg)
+    euler = np.asarray(prob.initial_euler())
+    body = prob.body_node_mask > 0
+    r = np.linalg.norm(euler, axis=1)
+    # body nodes on the unit sphere, wall nodes untouched (y == 2 plane)
+    assert np.allclose(r[body], 1.0, atol=1e-12)
+    wall = ~body
+    assert np.allclose(euler[wall][:, 1], 2.0, atol=1e-12)
