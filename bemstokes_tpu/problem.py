@@ -186,6 +186,11 @@ class StokesBEMProblem:
         self.preconditioner = LUPreconditioner(
             self.cfg.solver.refactor_iteration_trigger
         )
+        # stale-LU bookkeeping (reference `reassemble_preconditoner`,
+        # `source/bem_stokes.cc:5679, 4336-4339`): the factorization from an
+        # earlier frame is reused until a solve blows past the trigger, and
+        # only then is the NEXT frame's matrix refactored
+        self._last_direct_iterations = 0
         self._jit_pipeline = jax.jit(self._pipeline)
 
     # ------------------------------------------------------------------
@@ -302,16 +307,27 @@ class StokesBEMProblem:
             A, rhs, ops, diag = self._jit_pipeline(euler, shape_velocities_flat)
             jax.block_until_ready(A)
 
+        refactored = False
+        converged = True
         with timers.scope("LAC Solve"):
             if cfg.solver.solve_directly:
                 x = lu_solve_dense(lu_factor_dense(A), rhs)
                 iters = 1
             else:
                 ptype = cfg.solver.preconditioner_type
+                restart = cfg.solver.gmres_restart
+                # SolverControl semantics: at most max_steps Arnoldi steps
+                max_restarts = max(
+                    1, -(-cfg.solver.max_steps // max(restart, 1))
+                )
                 if ptype == "Direct":
-                    # stale-LU with refactor-on-iteration-trigger semantics
+                    # stale-LU: reuse the factors of an earlier frame; only
+                    # refactor if the PREVIOUS solve exceeded the trigger
+                    # (reference `source/bem_stokes.cc:4336-4339, 5768-5779`)
                     with timers.scope("DirectPreconditioner Refactorisation"):
-                        self.preconditioner.maybe_refactor(A, 10**9)
+                        refactored = self.preconditioner.maybe_refactor(
+                            A, self._last_direct_iterations
+                        )
                     precond = self.preconditioner.apply
                 else:
                     from .la.preconditioners import build_preconditioner
@@ -328,13 +344,26 @@ class StokesBEMProblem:
                     lambda v: A @ v,
                     rhs,
                     precond=precond,
-                    restart=cfg.solver.gmres_restart,
+                    restart=restart,
                     tol=cfg.solver.tolerance,
-                    max_restarts=4,
+                    max_restarts=max_restarts,
                 )
                 iters = int(info["iterations"])
                 if ptype == "Direct":
-                    self.preconditioner.maybe_refactor(A, iters)
+                    self._last_direct_iterations = iters
+                b_norm = float(jnp.linalg.norm(rhs))
+                converged = float(info["residual"]) <= cfg.solver.tolerance * (
+                    b_norm if b_norm > 0 else 1.0
+                ) * 1.0001
+                if not converged:
+                    import warnings
+
+                    warnings.warn(
+                        f"GMRES did not converge in {iters} iterations "
+                        f"(residual {float(info['residual']):.3e}, "
+                        f"max_steps {cfg.solver.max_steps})",
+                        stacklevel=2,
+                    )
             jax.block_until_ready(x)
 
         forces, wall_vel, rigid_vel = split_monolithic_solution(
@@ -346,6 +375,8 @@ class StokesBEMProblem:
             wall_velocities=wall_vel,
             rigid_velocities=np.asarray(rigid_vel),
             iterations=iters,
+            converged=converged,
+            refactored=refactored,
             residual=float(residual),
             diagnostics={k: np.asarray(v) for k, v in diag.items()},
             operators=ops,

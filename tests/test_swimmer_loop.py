@@ -73,3 +73,75 @@ def test_heun_integration(reference_grid_dir, tmp_path):
     # predictor's -U (frame 1) contributions to ~0
     U_mean = hist[0]["rigid_velocities"][0]
     assert abs(U_mean) < 2e-2 * exact, U_mean
+
+
+def test_stale_lu_reused_across_frames(reference_grid_dir):
+    """Reference DirectPreconditioner semantics (`direct_preconditioner.cc`,
+    refactor trigger `source/bem_stokes.cc:4336-4339, 5768-5779`): factor on
+    the first frame (GMRES then converges in ~1 iteration,
+    `tests/sphere_translation.output:30`), REUSE the stale factors on later
+    frames, refactor only when an iteration count blows past the trigger."""
+    import jax.numpy as jnp
+    from bemstokes_tpu.config import ProblemConfig, SolverConfig
+    from bemstokes_tpu.mesh import read_mesh
+    from bemstokes_tpu.problem import StokesBEMProblem
+    from bemstokes_tpu.fem.geometry import euler_from_mesh
+
+    mesh0 = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    mesh1 = read_mesh(f"{reference_grid_dir}/sphere_translation_1.msh", dim=3)
+    cfg = ProblemConfig(
+        grid_type="Real",
+        force_pole="Origin",
+        solver=SolverConfig(preconditioner_type="Direct", tolerance=1e-10),
+    )
+    prob = StokesBEMProblem(mesh0, cfg)
+    euler0 = prob.initial_euler()
+    euler1 = jnp.asarray(euler_from_mesh(mesh1.vertices, prob.map_space))
+    sdot = prob.shape_velocities_fd(euler0, euler1)
+
+    res0 = prob.solve_frame(euler0, sdot)
+    assert res0["refactored"] is True
+    assert res0["iterations"] <= 2  # fresh LU: reference golden output = 1
+    assert res0["converged"]
+
+    # frame 2: slightly different geometry, stale factors must be REUSED
+    res1 = prob.solve_frame(euler1, -sdot)
+    assert res1["refactored"] is False
+    assert res1["converged"]
+    assert res1["iterations"] <= 25  # stale LU still a strong preconditioner
+
+    # blowup path: fake a pathological previous solve -> next frame refactors
+    prob._last_direct_iterations = 10_000
+    res2 = prob.solve_frame(euler0, sdot)
+    assert res2["refactored"] is True
+    assert res2["iterations"] <= 2
+
+
+def test_solver_max_steps_honored(reference_grid_dir):
+    """solver.max_steps caps the GMRES work and non-convergence is surfaced
+    (reference SolverControl, `source/bem_stokes.cc:470-472`)."""
+    import warnings
+    import jax.numpy as jnp
+    from bemstokes_tpu.config import ProblemConfig, SolverConfig
+    from bemstokes_tpu.mesh import read_mesh
+    from bemstokes_tpu.problem import StokesBEMProblem
+
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    cfg = ProblemConfig(
+        grid_type="ImposedVelocity",
+        imposed_component=0,
+        force_pole="Origin",
+        solver=SolverConfig(
+            preconditioner_type="Jacobi",
+            tolerance=1e-13,
+            gmres_restart=5,
+            max_steps=10,
+        ),
+    )
+    prob = StokesBEMProblem(mesh, cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = prob.solve_frame(prob.initial_euler(), jnp.zeros((3 * prob.n,)))
+    assert res["iterations"] <= 10
+    assert not res["converged"]
+    assert any("GMRES did not converge" in str(x.message) for x in w)
