@@ -111,6 +111,9 @@ class ProblemConfig:
     spherical_head: bool = False
     imposed_rotation_as_flagellum_shape: bool = False
     imposed_translation_as_flagellum_shape: bool = False
+    # motor-torque balance value when solve_with_torque (the reference
+    # hard-codes -2 at `source/bem_stokes.cc:3354`)
+    imposed_motor_torque: float = -2.0
     angle_for_imposed_stuff: float = 0.0
     # built-in sphere generation (reference `:288-290`)
     build_sphere_in_code: bool = False

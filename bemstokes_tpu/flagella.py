@@ -56,13 +56,12 @@ def create_initial_flagellum_mesh(
             v10 = i * n_around + j2
             v01 = (i + 1) * n_around + j
             v11 = (i + 1) * n_around + j2
-            cells.append([v00, v10, v01, v11])
-    mesh = SurfaceMesh(
+            # lexicographic (u, v) = (x, phi): t_x x t_phi = +radial, so the
+            # parametric normal points OUT of the tube (into the fluid)
+            cells.append([v00, v01, v10, v11])
+    return SurfaceMesh(
         verts, np.asarray(cells, dtype=np.int32), np.zeros(len(cells), dtype=np.int32)
     )
-    # orientation: outward normals (check via signed volume of the open tube
-    # about its axis is ill-defined; use the radial direction instead)
-    return mesh
 
 
 def reference_spiral_euler(

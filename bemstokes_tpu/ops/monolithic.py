@@ -68,12 +68,23 @@ def build_monolithic_system(
     grid_type: str = GRID_REAL,
     imposed_component: int = 0,
     assemble_scaling: float = 1.0,
+    tmp_torque: jnp.ndarray | None = None,  # [d*n] P_t K P_t N_flag_torque
+    torque_dual: jnp.ndarray | None = None,  # [d*n] M N_flagellum_torque
+    imposed_motor_torque: float = -2.0,
 ):
-    """Materialize A [d*n+R, d*n+R] and rhs (for the LU/direct path and as
-    the preconditioner matrix)."""
+    """Materialize A [d*n+R(+1), d*n+R(+1)] and rhs (for the LU/direct path
+    and as the preconditioner matrix).
+
+    With `tmp_torque`/`torque_dual` the system gains the motor-torque
+    unknown: the flagellum rotation rate omega becomes an extra column
+    (-scale * tmp_torque on the surface rows) and the imposed motor torque an
+    extra balance row (scale * torque_dual^T f = imposed_motor_torque), with
+    a zero surface rhs — reference `solve_with_torque`,
+    `source/bem_stokes.cc:3191-3192, 3252-3256, 3340-3356`."""
     dn = V.shape[0]
     R = tmp_N.shape[0]
     dt = V.dtype
+    with_torque = tmp_torque is not None
 
     top_left = jnp.where(sel_V[None, :], V, -K)
     top_right = -assemble_scaling * tmp_N.T  # [dn, R]
@@ -88,15 +99,42 @@ def build_monolithic_system(
         bottom_left = N_dual
         bottom_right = jnp.zeros((R, R), dt)
 
-    A = jnp.block([[top_left, top_right], [bottom_left, bottom_right]])
-
     rhs_tail = jnp.zeros((R,), dt)
     if grid_type != GRID_REAL:
         rhs_head = jnp.zeros((dn,), dt)
         rhs_tail = rhs_tail.at[imposed_component].set(1.0)
     else:
         rhs_head = rhs_surface
-    rhs = jnp.concatenate([rhs_head, rhs_tail])
+
+    if not with_torque:
+        A = jnp.block([[top_left, top_right], [bottom_left, bottom_right]])
+        rhs = jnp.concatenate([rhs_head, rhs_tail])
+        return A, rhs
+
+    torque_col_top = -assemble_scaling * tmp_torque[:, None]  # [dn, 1]
+    torque_col_mid = jnp.zeros((R, 1), dt)
+    torque_row = jnp.concatenate(
+        [
+            assemble_scaling * torque_dual[None, :],
+            jnp.zeros((1, R + 1), dt),
+        ],
+        axis=1,
+    )  # [1, dn+R+1]
+    A = jnp.block(
+        [
+            [top_left, top_right, torque_col_top],
+            [bottom_left, bottom_right, torque_col_mid],
+        ]
+    )
+    A = jnp.concatenate([A, torque_row], axis=0)
+    # the gait is the unknown: zero surface rhs (reference `:3191-3192`)
+    rhs = jnp.concatenate(
+        [
+            jnp.zeros((dn,), dt),
+            rhs_tail,
+            jnp.full((1,), imposed_motor_torque, dt),
+        ]
+    )
     return A, rhs
 
 

@@ -148,6 +148,21 @@ class StokesBEMProblem:
         self.body_cell_mask = (self.mesh.material_id == MATERIAL_BODY).astype(
             np.float64
         )
+        # flagellum / head split of the body nodes at x > -0.1 on the initial
+        # geometry (reference `create_wall_body_index_sets`,
+        # `source/bem_stokes.cc:1967-1971`)
+        from .fem.geometry import euler_from_mesh
+
+        init_euler = euler_from_mesh(mesh.vertices, self.map_space)
+        init_sp = np.asarray(
+            support_points(jnp.asarray(init_euler), self.map_space, self.fe_space)
+        )
+        self.flagellum_node_mask = (
+            (self.body_node_mask > 0) & (init_sp[:, 0] > -0.1)
+        ).astype(np.float64)
+        self.head_node_mask = (
+            (self.body_node_mask > 0) & ~(init_sp[:, 0] > -0.1)
+        ).astype(np.float64)
 
         from .mesh.constraints import hanging_node_constraints
 
@@ -211,10 +226,45 @@ class StokesBEMProblem:
         return jnp.zeros_like(com_body)
 
     # ------------------------------------------------------------------
-    def _pipeline(self, euler, shape_velocities_flat):
+    def flagellum_torque_mode(self, euler, rotation=None):
+        """N_flagellum_torque [n, d]: rotation of the flagellum about the
+        body-frame x-axis, expressed in world coordinates —
+        N(x) = R . (e_x x (R^T x - pole)) on flagellum nodes, 0 elsewhere
+        (reference `source/bem_stokes.cc:2657-2670` builds the body-frame
+        mode, then `rotate_vector` applies R at `:2770`)."""
+        d = self.dim
+        if d != 3:
+            return jnp.zeros((self.n, d), self.asm_cfg.dtype)
+        dt = self.asm_cfg.dtype
+        R = (
+            jnp.eye(3, dtype=dt)
+            if rotation is None
+            else jnp.asarray(rotation, dt)
+        )
+        sp = support_points(
+            euler.astype(dt), self.map_space, self.fe_space
+        ).astype(dt)
+        pole = self.force_pole_point(jnp.zeros((3,), dt))
+        body = sp @ R - pole[None, :]  # R^T x (row-vector convention)
+        ex = jnp.zeros((3,), dt).at[0].set(1.0)
+        mode_body = jnp.cross(jnp.broadcast_to(ex, body.shape), body)
+        mode = mode_body @ R.T
+        return mode * jnp.asarray(self.flagellum_node_mask, dt)[:, None]
+
+    def flagellum_translation_mode(self):
+        """N_flagellum_translation [n, d]: unit x-velocity of the flagellum
+        nodes (reference `:2670`, not rotated)."""
+        mode = jnp.zeros((self.n, self.dim), self.asm_cfg.dtype)
+        return mode.at[:, 0].set(
+            jnp.asarray(self.flagellum_node_mask, self.asm_cfg.dtype)
+        )
+
+    # ------------------------------------------------------------------
+    def _pipeline(self, euler, shape_velocities_flat, rotation=None):
         """Jitted: geometry -> operators -> monolithic system.  Returns the
         system plus diagnostics. shape_velocities_flat is the component-
-        blocked [d*n] projected gait velocity."""
+        blocked [d*n] projected gait velocity; `rotation` is the accumulated
+        body rotation matrix (only consulted by the flagellum torque mode)."""
         cfg = self.cfg
         d = self.dim
         n = self.n
@@ -259,6 +309,15 @@ class StokesBEMProblem:
         sel_V = operator_column_mask(
             jnp.asarray(self.node_material), flatten(nv["normal"]), n, d
         )
+        torque_mode_flat = None
+        torque_dual_flat = None
+        tmp_torque = None
+        if cfg.solve_with_torque or cfg.imposed_rotation_as_flagellum_shape:
+            torque_mode_flat = flatten(self.flagellum_torque_mode(euler, rotation))
+            torque_dual_flat = flatten(
+                mass_op.matvec(unflatten(torque_mode_flat, d))
+            )
+            tmp_torque = PKP(torque_mode_flat)
         A, rhs = build_monolithic_system(
             V,
             K,
@@ -269,6 +328,9 @@ class StokesBEMProblem:
             grid_type=cfg.grid_type,
             imposed_component=cfg.imposed_component,
             assemble_scaling=cfg.assemble_scaling,
+            tmp_torque=tmp_torque if cfg.solve_with_torque else None,
+            torque_dual=torque_dual_flat if cfg.solve_with_torque else None,
+            imposed_motor_torque=cfg.imposed_motor_torque,
         )
         if self.hanging.n:
             from .mesh.constraints import apply_hanging_constraints_monolithic
@@ -293,18 +355,25 @@ class StokesBEMProblem:
             tmp_N=tmp_N,
             mass_jxw=jxw,
         )
+        if torque_mode_flat is not None:
+            operators["N_flagellum_torque"] = torque_mode_flat
+            operators["N_flagellum_torque_dual"] = torque_dual_flat
         return A, rhs, operators, diagnostics
 
     # ------------------------------------------------------------------
-    def solve_frame(self, euler, shape_velocities_flat):
-        """Assemble + solve one frame. Returns dict of results (host)."""
+    def solve_frame(self, euler, shape_velocities_flat, rotation=None):
+        """Assemble + solve one frame. Returns dict of results (host).
+        `rotation` is the accumulated body rotation (flagellum torque mode
+        only; identity when omitted)."""
         from .utils import timers
 
         cfg = self.cfg
         if not cfg.monolithic:
             return self._solve_frame_resistance(euler, shape_velocities_flat)
         with timers.scope("Assemble") as _:
-            A, rhs, ops, diag = self._jit_pipeline(euler, shape_velocities_flat)
+            A, rhs, ops, diag = self._jit_pipeline(
+                euler, shape_velocities_flat, rotation
+            )
             jax.block_until_ready(A)
 
         refactored = False
@@ -366,10 +435,27 @@ class StokesBEMProblem:
                     )
             jax.block_until_ready(x)
 
-        forces, wall_vel, rigid_vel = split_monolithic_solution(
-            x, ops["sel_V"], self.num_rigid, cfg.assemble_scaling
-        )
         residual = jnp.linalg.norm(A @ x - rhs)
+        x_main = x
+        extra = {}
+        if cfg.solve_with_torque:
+            # the motor-balance unknown: flagellum rotation rate omega
+            # (reference `:4398-4410`); the effective gait velocity is
+            # omega * N_flagellum_torque
+            flagellum_omega = float(x[-1]) * cfg.assemble_scaling
+            x_main = x[:-1]
+            extra["flagellum_omega"] = flagellum_omega
+            extra["shape_velocities"] = (
+                flagellum_omega * ops["N_flagellum_torque"]
+            )
+        forces, wall_vel, rigid_vel = split_monolithic_solution(
+            x_main, ops["sel_V"], self.num_rigid, cfg.assemble_scaling
+        )
+        if "N_flagellum_torque_dual" in ops:
+            # motor torque actually transmitted (reference `:4374`)
+            extra["motor_torque"] = float(
+                jnp.dot(ops["N_flagellum_torque_dual"], forces)
+            )
         return dict(
             stokes_forces=forces,
             wall_velocities=wall_vel,
@@ -382,6 +468,7 @@ class StokesBEMProblem:
             operators=ops,
             A=A,
             rhs=rhs,
+            **extra,
         )
 
     # ------------------------------------------------------------------

@@ -61,15 +61,66 @@ class SwimmerState:
         return cls(z["rotation"], z["displacements"], int(z["frame"]))
 
 
+def _spherical_head_remap(euler: np.ndarray, body_mask: np.ndarray) -> np.ndarray:
+    """Remap body nodes with x <= 0 onto the ellipsoidal head with semi-axes
+    (1.6, 0.8, 0.8) centered at (-1.6, 0, 0) — the reference `spherical_head`
+    branch of `compute_euler_vector` (`source/bem_stokes.cc:2390-2410`)."""
+    center = np.array([-1.6, 0.0, 0.0])
+    rel = euler - center
+    nrm = np.linalg.norm(rel, axis=1, keepdims=True)
+    pp = rel / np.where(nrm == 0, 1.0, nrm)
+    mapped = pp * np.array([1.6, 0.8, 0.8]) + center
+    apply = body_mask & (euler[:, 0] <= 0.0)
+    return np.where(apply[:, None], mapped, euler)
+
+
 class SwimmerSimulation:
     def __init__(self, cfg: ProblemConfig, output_dir: str = "."):
         self.cfg = cfg
         self.out = output_dir
         os.makedirs(output_dir, exist_ok=True)
-        base_mesh = self._read_frame_mesh(0)
+        if cfg.use_flagellum_handler:
+            # analytic helical-flagellum geometry built in code (reference
+            # `read_domain` flagellum branch, `source/bem_stokes.cc:756`,
+            # reference euler at `:5656-5657`)
+            from .flagella import (
+                FlagellumConfig,
+                create_initial_flagellum_mesh,
+            )
+
+            params = dict(cfg.flagellum_params)
+            n_length = params.pop("n_length", 24)
+            n_around = params.pop("n_around", 8)
+            self.flagellum_cfg = FlagellumConfig(**params)
+            base_mesh = create_initial_flagellum_mesh(
+                self.flagellum_cfg, n_length=n_length, n_around=n_around
+            )
+        else:
+            self.flagellum_cfg = None
+            base_mesh = self._read_frame_mesh(0)
         self.mesh = add_walls_to_mesh(base_mesh, cfg)
         self.problem = StokesBEMProblem(self.mesh, cfg)
         self.n_swimmer_vertices = base_mesh.n_vertices
+        if cfg.use_flagellum_handler:
+            from .fem.geometry import euler_from_mesh
+            from .flagella import reference_constant_spiral_euler
+
+            euler0 = euler_from_mesh(self.mesh.vertices, self.problem.map_space)
+            map_sp = self.problem.map_space
+            flag_mask = np.zeros(map_sp.n_nodes)
+            body_cells = self.mesh.material_id == 0
+            body_nodes = np.unique(map_sp.cells_nodes[body_cells])
+            flag_mask[body_nodes] = (euler0[body_nodes, 0] > -0.1).astype(float)
+            self.map_flagellum_mask = jnp.asarray(flag_mask)
+            self.reference_euler = jnp.asarray(
+                np.asarray(
+                    reference_constant_spiral_euler(
+                        jnp.asarray(euler0),
+                        self.flagellum_cfg,
+                        self.map_flagellum_mask,
+                    )
+                )
+            )
         d = self.problem.dim
         q = np.asarray(cfg.initial_quaternion, dtype=np.float64)
         self.state = SwimmerState(
@@ -94,16 +145,38 @@ class SwimmerSimulation:
 
     def euler_for_frame(self, frame: int) -> jnp.ndarray:
         """Frame geometry under the current rigid state (reference
-        `compute_euler_vector` `:2247-2440`: rotate body nodes by the
-        accumulated rotation, add accumulated displacements)."""
+        `compute_euler_vector` `:2247-2440`: gait geometry from the flagellum
+        handler or a frame mesh file, optional spherical-head remap, then
+        rotate body nodes by the accumulated rotation and add accumulated
+        displacements)."""
         from .fem.geometry import euler_from_mesh
 
-        frame_mesh = add_walls_to_mesh(
-            self._read_frame_mesh(frame % self.cfg.n_frames), self.cfg
-        )
-        euler = euler_from_mesh(
-            frame_mesh.vertices, self.problem.map_space, self.problem.manifold
-        )
+        if self.cfg.use_flagellum_handler:
+            from .flagella import euler_at_theta
+
+            # NOTE: the reference passes theta = frame/n_frames (radians) to
+            # compute_euler_at_theta (`source/bem_stokes.cc:2251-2254`), i.e.
+            # one radian per gait cycle; we use the physically intended
+            # 2*pi*frame/n_frames — one full flagellum revolution per cycle,
+            # consistent with the imposed-rotation rate
+            # omega = -2*pi/(time_step*n_frames) at `:2084`
+            theta = (
+                2.0 * np.pi * (frame % self.cfg.n_frames) / self.cfg.n_frames
+            )
+            euler = np.asarray(
+                euler_at_theta(
+                    self.reference_euler, theta, self.map_flagellum_mask
+                )
+            )
+        else:
+            frame_mesh = add_walls_to_mesh(
+                self._read_frame_mesh(frame % self.cfg.n_frames), self.cfg
+            )
+            euler = euler_from_mesh(
+                frame_mesh.vertices, self.problem.map_space, self.problem.manifold
+            )
+        if self.cfg.spherical_head:
+            euler = _spherical_head_remap(euler, self.map_body_mask[:, 0] > 0)
         Rm = self.state.rotation
         rotated = euler @ Rm.T
         euler = np.where(self.map_body_mask > 0, rotated, euler)
@@ -114,6 +187,22 @@ class SwimmerSimulation:
     # ------------------------------------------------------------------
     def shape_velocities(self, frame: int, euler_now) -> jnp.ndarray:
         cfg = self.cfg
+        if cfg.imposed_rotation_as_flagellum_shape:
+            # exact gait rate instead of the FD of two frames (reference
+            # `compute_rotational_shape_velocities`, `:2080-2097`):
+            # sdot = omega * N_flagellum_torque, omega = -2 pi / (dt n_frames)
+            omega = -2.0 * np.pi / (cfg.time_step * cfg.n_frames)
+            mode = self.problem.flagellum_torque_mode(
+                euler_now, jnp.asarray(self.state.rotation)
+            )
+            return flatten(omega * mode)
+        if cfg.imposed_translation_as_flagellum_shape:
+            # unit x-velocity of the flagellum nodes (reference `:5705-5713`)
+            return flatten(self.problem.flagellum_translation_mode())
+        if cfg.solve_with_torque:
+            # the gait rate is an unknown of the motor-torque solve; the
+            # surface rhs is zeroed in the monolithic build
+            return jnp.zeros((self.problem.dim * self.problem.n,))
         if cfg.velocity_type == "Squirmer":
             path = os.path.join(
                 cfg.input_grid_path, f"squirming_velocity_{frame}.npy"
@@ -169,8 +258,14 @@ class SwimmerSimulation:
                 euler = self.euler_for_frame(frame)
                 sdot = self.shape_velocities(frame, euler)
             with timers.scope("Assemble + LAC Solve"):
-                res = self.problem.solve_frame(euler, sdot)
+                res = self.problem.solve_frame(
+                    euler, sdot, jnp.asarray(self.state.rotation)
+                )
             U = res["rigid_velocities"]
+            if cfg.solve_with_torque:
+                # the solved motor balance defines the gait velocity
+                # (reference `:4407-4410`)
+                sdot = jnp.asarray(res["shape_velocities"])
 
             if cfg.time_integration == "Heun":
                 # predictor: advance a copy of the state, re-solve at the
@@ -184,27 +279,71 @@ class SwimmerSimulation:
                 self._advance_state(U, jnp.asarray(res["operators"]["N"]))
                 euler_pred = self.euler_for_frame(frame + cfg.delta_frame)
                 sdot_pred = self.shape_velocities(frame + cfg.delta_frame, euler_pred)
-                res_pred = self.problem.solve_frame(euler_pred, sdot_pred)
+                res_pred = self.problem.solve_frame(
+                    euler_pred, sdot_pred, jnp.asarray(self.state.rotation)
+                )
                 self.state = saved
                 U = 0.5 * (U + res_pred["rigid_velocities"])
 
             v_full = self._advance_state(U, jnp.asarray(res["operators"]["N"]))
-            total_vel = np.asarray(unflatten(jnp.asarray(sdot), 3)) + np.asarray(
+            d = self.problem.dim
+            total_vel = np.asarray(unflatten(jnp.asarray(sdot), d)) + np.asarray(
                 v_full
             )
-            self._save_frame(frame, euler, res, total_vel, U)
-            self.history.append(
-                dict(frame=frame, rigid_velocities=U.tolist())
-            )
+            self._print_frame_checks(frame, res)
+            self._save_frame(frame, euler, res, total_vel, U, sdot)
+            entry = dict(frame=frame, rigid_velocities=U.tolist())
+            if "flagellum_omega" in res:
+                entry["flagellum_omega"] = res["flagellum_omega"]
+                entry["motor_torque"] = res["motor_torque"]
+            self.history.append(entry)
         run_scope.__exit__(None, None, None)
         # end-of-run timer summary (reference TimeMonitor::summarize `:5882`)
         print(timers.summary())
         return self.history
 
     # ------------------------------------------------------------------
-    def _save_frame(self, frame, euler, res, total_vel, U):
+    def _print_frame_checks(self, frame, res):
+        """Per-frame invariant diagnostics, printed like the reference does
+        every frame (`source/bem_stokes.cc:3012-3014, 3093-3097, 5852-5870`,
+        `:4343-4346`)."""
+        diag = res["diagnostics"]
+        print(
+            f"frame {frame}: ||V.n||_inf pre-correction = "
+            f"{float(diag['v_null_residual_pre']):.3e}, "
+            f"||K.e||_inf = {float(np.max(np.asarray(diag['k_solid_angle_check']))):.6f}, "
+            f"FINAL CHECK residual = {res['residual']:.3e}, "
+            f"iterations = {res['iterations']}"
+        )
+        if not res.get("converged", True):
+            print(f"frame {frame}: WARNING solver did not converge")
+
+    def _origin_velocities(self, U, res):
+        """Transform rigid velocities from the force pole to the origin
+        (reference `source/bem_stokes.cc:4479-4493`)."""
+        U_origin = np.asarray(U, dtype=np.float64).copy()
+        if self.cfg.force_pole == "Origin":
+            return U_origin
+        pole = np.asarray(
+            self.problem.force_pole_point(
+                jnp.asarray(res["diagnostics"]["com_body"])
+            )
+        )
         d = self.problem.dim
-        forces = np.asarray(unflatten(jnp.asarray(res["stokes_forces"]), d))
+        if d == 3:
+            om = U_origin[3:6]
+            U_origin[0] += om[1] * (0.0 - pole[2]) - om[2] * (0.0 - pole[1])
+            U_origin[1] += om[2] * (0.0 - pole[0]) - om[0] * (0.0 - pole[2])
+            U_origin[2] += om[0] * (0.0 - pole[1]) - om[1] * (0.0 - pole[0])
+        else:
+            U_origin[0] += -U_origin[2] * (0.0 - pole[1])
+            U_origin[1] += U_origin[2] * (0.0 - pole[0])
+        return U_origin
+
+    def _save_frame(self, frame, euler, res, total_vel, U, sdot):
+        d = self.problem.dim
+        forces_flat = jnp.asarray(res["stokes_forces"])
+        forces = np.asarray(unflatten(forces_flat, d))
         np.savez(
             os.path.join(self.out, f"result_{frame}.npz"),
             stokes_forces=forces,
@@ -214,8 +353,32 @@ class SwimmerSimulation:
         )
         self.state.frame = frame
         self.state.save(os.path.join(self.out, f"state_{frame}.npz"))
+        # txt time series, matching the reference's appenders:
+        # point_velocities.txt rows "F_r U_r F_complete_r" (`:4466-4476`),
+        # origin_velocities.txt rows "F_r U_origin_r" (`:4496-4506`),
+        # center_of_mass_position.txt "frame com" (`:2777-2784`),
+        # motor_torque.txt (`:4375-4384`)
+        ops = res["operators"]
+        N_dual = np.asarray(ops["N_dual"])  # [R, n, d]
+        N_dual_c = np.asarray(ops["N_dual_complete"])
+        ff = np.asarray(unflatten(forces_flat, d))  # [n, d]
+        F = np.einsum("rnd,nd->r", N_dual, ff)
+        F_c = np.einsum("rnd,nd->r", N_dual_c, ff)
+        U_origin = self._origin_velocities(U, res)
         with open(os.path.join(self.out, "point_velocities.txt"), "a") as f:
-            f.write(" ".join(f"{v:.16e}" for v in np.asarray(U)) + "\n")
+            for r in range(self.problem.num_rigid):
+                f.write(f"{F[r]:.16e} {U[r]:.16e} {F_c[r]:.16e}\n")
+        with open(os.path.join(self.out, "origin_velocities.txt"), "a") as f:
+            for r in range(self.problem.num_rigid):
+                f.write(f"{F[r]:.16e} {U_origin[r]:.16e}\n")
+        com = np.asarray(res["diagnostics"]["com_body"])
+        with open(
+            os.path.join(self.out, "center_of_mass_position.txt"), "a"
+        ) as f:
+            f.write(f"{frame} " + " ".join(f"{c:.16e}" for c in com) + "\n")
+        if "motor_torque" in res:
+            with open(os.path.join(self.out, "motor_torque.txt"), "a") as f:
+                f.write(f"{res['motor_torque']:.16e}\n")
         if frame % max(1, self.cfg.delta_frame) == 0:
             from .fem.geometry import support_points
 
