@@ -58,6 +58,36 @@ class ScalarSpace:
         return pos / count
 
 
+def subcell_connectivity(space: ScalarSpace):
+    """Degree-correct output cells: split every degree-p cell into p^cdim
+    sub-quads (or sub-lines) over the space's own scalar nodes — the analog
+    of deal.II DataOut's `n_subdivisions` so degree >= 2 fields are rendered
+    on their actual support points (reference `output_save_stokes_results`
+    emits curved patches, `source/bem_stokes.cc:5164-5262`).
+
+    Returns (cells [Nc*p^cdim, 4 or 2] scalar-node ids, parent [Nc*p^cdim]
+    parent-cell index for replicating cell data)."""
+    p = space.degree
+    if p < 1:
+        raise ValueError("subcell output needs a continuous space (degree>=1)")
+    cn = space.cells_nodes
+    Nc = cn.shape[0]
+    if space.cell_dim == 2:
+        n1 = p + 1
+        sub = np.asarray(
+            [
+                [j * n1 + i, j * n1 + i + 1, (j + 1) * n1 + i, (j + 1) * n1 + i + 1]
+                for j in range(p)
+                for i in range(p)
+            ]
+        )  # [p*p, 4] lexicographic corners
+    else:
+        sub = np.asarray([[i, i + 1] for i in range(p)])
+    cells = cn[:, sub].reshape(-1, sub.shape[1])
+    parent = np.repeat(np.arange(Nc), len(sub))
+    return cells, parent
+
+
 def _build_quad_space(mesh: SurfaceMesh, degree: int) -> ScalarSpace:
     d = degree
     n1 = d + 1

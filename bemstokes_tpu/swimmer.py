@@ -131,7 +131,14 @@ class SwimmerSimulation:
             frame=0,
         )
         # body-node mask in map space (walls are never rotated/displaced)
-        self.map_body_mask = self.problem.body_node_mask[:, None]
+        # body-node mask in MAP space (walls are never rotated/displaced);
+        # distinct from the FE-space mask when fe_degree != map_degree
+        map_sp = self.problem.map_space
+        mask = np.zeros(map_sp.n_nodes)
+        mask[
+            np.unique(map_sp.cells_nodes[self.mesh.material_id == 0])
+        ] = 1.0
+        self.map_body_mask = mask[:, None]
         self.history: list[dict] = []
 
     # ------------------------------------------------------------------
@@ -381,20 +388,36 @@ class SwimmerSimulation:
                 f.write(f"{res['motor_torque']:.16e}\n")
         if frame % max(1, self.cfg.delta_frame) == 0:
             from .fem.geometry import support_points
+            from .mesh.dofs import subcell_connectivity
 
             sp = np.asarray(
                 support_points(euler, self.problem.map_space, self.problem.fe_space)
             )
+            # degree-correct sub-celled output + the reference's field set:
+            # forces, shape/total velocities, normals, rigid modes
+            # (`source/bem_stokes.cc:5164-5262`)
+            cells, parent = subcell_connectivity(self.problem.fe_space)
+            ops = res["operators"]
+            point_data = dict(
+                forces=forces,
+                total_velocities=total_vel,
+                shape_velocities=np.asarray(unflatten(jnp.asarray(sdot), d)),
+                normals=np.asarray(ops["normal"]["normal"]),
+            )
+            N_modes = np.asarray(ops["N"])  # [R, n, d]
+            for r in range(N_modes.shape[0]):
+                point_data[f"rigid_mode_{r}"] = N_modes[r]
+            if "N_flagellum_torque" in ops:
+                point_data["rigid_flagellum"] = np.asarray(
+                    unflatten(jnp.asarray(ops["N_flagellum_torque"]), d)
+                )
             write_vtu(
                 os.path.join(self.out, f"stokes_{frame}.vtu"),
                 sp,
-                self.problem.fe_space.cells_nodes[:, : 4 if d == 3 else 2],
-                point_data=dict(
-                    forces=forces,
-                    total_velocities=total_vel,
-                ),
+                cells,
+                point_data=point_data,
                 cell_data=dict(
-                    material=self.mesh.material_id.astype(np.float64)
+                    material=self.mesh.material_id.astype(np.float64)[parent]
                 ),
             )
 

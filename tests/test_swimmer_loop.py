@@ -145,3 +145,38 @@ def test_solver_max_steps_honored(reference_grid_dir):
     assert res["iterations"] <= 10
     assert not res["converged"]
     assert any("GMRES did not converge" in str(x.message) for x in w)
+
+
+def test_vtu_output_fields_and_subcells(tmp_path, reference_grid_dir):
+    """VTU output parity: normals / rigid-mode / shape-velocity fields and
+    degree-correct sub-celled connectivity for fe_degree=2 (reference
+    `output_save_stokes_results`, `source/bem_stokes.cc:5164-5262`)."""
+    from bemstokes_tpu.config import ProblemConfig, SolverConfig
+    from bemstokes_tpu.swimmer import SwimmerSimulation
+
+    cfg = ProblemConfig(
+        input_grid_path=f"{reference_grid_dir}/",
+        input_grid_base_name="sphere_translation_",
+        n_frames=2,
+        fe_degree=2,
+        grid_type="Real",
+        force_pole="Origin",
+        solver=SolverConfig(solve_directly=True),
+    )
+    sim = SwimmerSimulation(cfg, str(tmp_path))
+    sim.run(0, 1)
+    vtu = (tmp_path / "stokes_0.vtu").read_text()
+    for field in (
+        "forces",
+        "total_velocities",
+        "shape_velocities",
+        "normals",
+        "rigid_mode_0",
+        "rigid_mode_5",
+    ):
+        assert f'Name="{field}"' in vtu
+    # degree 2 -> 4 subquads per mesh cell
+    n_cells = sim.mesh.n_cells
+    assert f'NumberOfCells="{4 * n_cells}"' in vtu
+    # points are the fe-space nodes, not just the vertices
+    assert f'NumberOfPoints="{sim.problem.fe_space.n_nodes}"' in vtu
