@@ -28,6 +28,10 @@ class SolverConfig:
     bandwith_preconditioner: bool = False
     bandwith: int = 100
     refactor_iteration_trigger: int = 100
+    # dtype of the Direct-preconditioner LU factors: "same" follows the
+    # problem dtype; "float32" enables the TPU mixed-precision path (f32 LU
+    # as preconditioner for f64 GMRES — TPUs have no native f64 LU)
+    preconditioner_dtype: str = "same"
 
 
 @dataclasses.dataclass
@@ -35,6 +39,11 @@ class QuadratureConfig:
     order: int = 4  # per-direction Gauss order on smooth panels
     singular_order: int = 5
     singular_type: str = "Mixed"  # Mixed|Duffy|Telles
+    # adaptive two-level quadrature: dense pass at `order_far`, each node's
+    # `near_panels` nearest panels upgraded to `order` by a gathered
+    # correction pass (None = classic single-pass at `order`)
+    order_far: int | None = None
+    near_panels: int = 32
 
 
 @dataclasses.dataclass

@@ -31,12 +31,20 @@ def lu_solve_dense(factors, b: jnp.ndarray):
 @dataclasses.dataclass
 class LUPreconditioner:
     """Stateful stale-LU preconditioner with the reference's refactor-on-
-    iteration-count semantics."""
+    iteration-count semantics.
+
+    `factor_dtype` supports the TPU mixed-precision path: factor in float32
+    (the only dtype with a native TPU LuDecomposition) and apply casts, while
+    GMRES iterates in float64 — a stale approximate factorization is a
+    preconditioner either way, and f64 GMRES restores full accuracy."""
 
     refactor_iteration_trigger: int = 100
+    factor_dtype: jnp.dtype | None = None
     _factors: tuple | None = None
 
     def set_up(self, A: jnp.ndarray):
+        if self.factor_dtype is not None:
+            A = A.astype(self.factor_dtype)
         self._factors = lu_factor_dense(A)
 
     @property
@@ -46,6 +54,9 @@ class LUPreconditioner:
     def apply(self, v: jnp.ndarray) -> jnp.ndarray:
         if self._factors is None:
             raise RuntimeError("LUPreconditioner not initialized")
+        fdt = self._factors[0].dtype
+        if v.dtype != fdt:
+            return lu_solve_dense(self._factors, v.astype(fdt)).astype(v.dtype)
         return lu_solve_dense(self._factors, v)
 
     def maybe_refactor(self, A: jnp.ndarray, last_iterations: int) -> bool:

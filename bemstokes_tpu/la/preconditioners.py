@@ -67,7 +67,7 @@ class SORPreconditioner:
     @classmethod
     def build(cls, A: jnp.ndarray, omega: float = 1.0):
         L = jnp.tril(A, -1)
-        D = jnp.diagonal(A)
+        D = _safe_diag(A)
         M = L + jnp.diag(D / omega)
         return cls(M=M, omega=omega)
 
@@ -86,7 +86,7 @@ class SSORPreconditioner:
 
     @classmethod
     def build(cls, A: jnp.ndarray, omega: float = 1.0):
-        D = jnp.diagonal(A) / omega
+        D = _safe_diag(A) / omega
         Ml = jnp.tril(A, -1) + jnp.diag(D)
         Mu = jnp.triu(A, 1) + jnp.diag(D)
         return cls(Ml=Ml, Mu=Mu, diag_scaled=D)
@@ -97,11 +97,23 @@ class SSORPreconditioner:
         return jax.scipy.linalg.solve_triangular(self.Mu, y, lower=False)
 
 
+def _safe_diag(A: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal with zeros replaced by 1: the monolithic saddle system has a
+    ZERO bottom-right rigid block (grid Real), which would make triangular /
+    LU preconditioner factors singular (NaN poisoning the whole GMRES)."""
+    d = jnp.diagonal(A)
+    return jnp.where(d == 0, jnp.ones_like(d), d)
+
+
 @partial(jax.jit, static_argnames=("n_blocks",))
 def _block_lu_factor(A: jnp.ndarray, n_blocks: int):
     n = A.shape[0]
     nb = -(-n // n_blocks)  # block size, ceil
     pad = n_blocks * nb - n
+    # zero diagonal entries (the rigid saddle tail) -> 1, so every diagonal
+    # block stays invertible
+    i = jnp.arange(n)
+    A = A.at[i, i].set(_safe_diag(A))
     Ap = jnp.pad(A, ((0, pad), (0, pad)))
     # pad diagonal with identity so padded blocks stay invertible
     idx = jnp.arange(n, n_blocks * nb)

@@ -70,6 +70,13 @@ class AssemblyConfig:
     wall_axis: int = 1
     wall_position: float = 0.0
     quad_order: int = 4  # per-direction Gauss order for smooth panels
+    # adaptive two-level quadrature: when set, the dense O(N^2) pass runs at
+    # this (lower) order and only each node's `near_panels` nearest panels
+    # are corrected to full `quad_order` by a gathered sparse pass — the
+    # classic distance-graded BEM quadrature, shaped TPU-first (uniform dense
+    # bulk + fixed-size irregular correction).  None = single-pass.
+    quad_order_far: int | None = None
+    near_panels: int = 32
     singular_quadrature_order: int = 5
     singular_quadrature_type: str = "Mixed"  # Mixed | Duffy | Telles
     row_tile: int = 32  # collocation nodes per tile
@@ -100,7 +107,7 @@ class AssemblyTables:
     cells_nodes_fe: np.ndarray  # [Nc, nl_fe]
     cells_nodes_map: np.ndarray  # [Nc, nl_map]
     flip_sign: np.ndarray  # [Nc]
-    # smooth rule
+    # smooth rule (the DENSE pass: the far rule under adaptive quadrature)
     q_weights: np.ndarray  # [nq]
     phi_map: np.ndarray  # [nq, nl_map]
     dphi_map: np.ndarray  # [nq, nl_map, cdim]
@@ -114,6 +121,12 @@ class AssemblyTables:
     # max valence; inc_mask zeroes the padding (column_mode="gather")
     inc_slot: np.ndarray  # [n_nodes, vmax] int32
     inc_mask: np.ndarray  # [n_nodes, vmax]
+    # full-order rule for the gathered near-pair correction (None when the
+    # dense pass already runs at full order; see AssemblyConfig.quad_order_far)
+    hq_weights: np.ndarray | None = None
+    hphi_map: np.ndarray | None = None
+    hdphi_map: np.ndarray | None = None
+    hphi_fe: np.ndarray | None = None
 
 
 def _singular_rules(cfg: AssemblyConfig, fe_degree: int, unit_sp: np.ndarray):
@@ -169,11 +182,26 @@ def build_assembly_tables(
     cdim = fe_space.cell_dim
     fe = reference_element(cdim, fe_space.degree)
     me = reference_element(cdim, map_space.degree)
-    if cdim == 2:
-        q_pts, q_wts = gauss_quad(cfg.quad_order)
-    else:
-        x, w = gauss_1d(cfg.quad_order)
-        q_pts, q_wts = x[:, None], w
+
+    def rule(order):
+        if cdim == 2:
+            return gauss_quad(order)
+        x, w = gauss_1d(order)
+        return x[:, None], w
+
+    dense_order = (
+        cfg.quad_order_far if cfg.quad_order_far is not None else cfg.quad_order
+    )
+    q_pts, q_wts = rule(dense_order)
+    hi_tables = {}
+    if cfg.quad_order_far is not None:
+        h_pts, h_wts = rule(cfg.quad_order)
+        hi_tables = dict(
+            hq_weights=h_wts,
+            hphi_map=me.shape_values(h_pts),
+            hdphi_map=me.shape_grads(h_pts),
+            hphi_fe=fe.shape_values(h_pts),
+        )
 
     s_pts, s_wts = _singular_rules(cfg, fe_space.degree, fe_space.unit_support_points)
 
@@ -220,6 +248,7 @@ def build_assembly_tables(
         sphi_fe=fe.shape_values(s_pts),
         inc_slot=inc_slot,
         inc_mask=inc_mask,
+        **hi_tables,
     )
 
 
@@ -477,8 +506,129 @@ def assemble_rows(
     V = rowsV.reshape(d * nr, d * n)
     K = rowsK.reshape(d * nr, d * n)
 
+    # ---- near-pair upgrade to full quadrature order (adaptive mode) ----
+    V, K = _add_near_corrections(V, K, euler, support_pts, xi, node_ids, tables, nr)
     # ---- singular path (scattered with drop-mode into this row block) ----
     V, K = _add_singular_rows(V, K, euler, support_pts, tables, r0, nr)
+    return V, K
+
+
+def _pair_local_blocks(cfg, euler_cells, flip, xi_rows, keep, rule, dt):
+    """Local (V, K) blocks [RC, Kn, d, d, nl] for gathered (row, panel)
+    pairs, evaluated on one quadrature rule.
+
+    euler_cells [RC, Kn, nlm, d]; xi_rows [RC, d]; keep [RC, Kn] zeroes
+    masked (singular) pairs; rule = (weights [q], phi_map [q, nlm],
+    dphi_map [q, nlm, cdim], phi_fe [q, nl])."""
+    d = cfg.dim
+    w, phi_map, dphi_map, phi_fe = (jnp.asarray(t, dt) for t in rule)
+    xq = jnp.einsum("qm,rkmd->rkqd", phi_map, euler_cells)
+    J = jnp.einsum("qmc,rkmd->rkqdc", dphi_map, euler_cells)
+    if d == 3:
+        nrm = jnp.cross(J[..., 0], J[..., 1])
+    else:
+        t = J[..., 0]
+        nrm = jnp.stack([-t[..., 1], t[..., 0]], axis=-1)
+    jac = jnp.linalg.norm(nrm, axis=-1)
+    normals = nrm / jac[..., None] * flip[..., None, None]
+    jxw = jac * w[None, None, :]  # [RC, Kn, q]
+    R = xq - xi_rows[:, None, None, :]
+    wz = keep[..., None, None] == 0
+    R = jnp.where(wz, jnp.ones_like(R), R)
+    if cfg.kernel == KERNEL_FREE_SPACE:
+        R_img = R
+    else:
+        xi_img = image_point(xi_rows, cfg.wall_axis, cfg.wall_position)
+        R_img = jnp.where(wz, jnp.ones_like(R), xq - xi_img[:, None, None, :])
+    G, Wn = _eval_G_Wn(cfg, R, R_img, normals)
+    keep_l = keep[:, :, None, None, None]
+    Vloc = jnp.einsum("rkqab,rkq,qm->rkabm", G, jxw, phi_fe) * keep_l
+    Kloc = -jnp.einsum("rkqab,rkq,qm->rkabm", Wn, jxw, phi_fe) * keep_l
+    return Vloc, Kloc
+
+
+def _add_near_corrections(V, K, euler, support_pts, xi, node_ids, tables, nr):
+    """Upgrade each block row's `near_panels` nearest panels from the dense
+    far rule to the full `quad_order` rule: scatter-add (hi - lo) local
+    blocks.  No-op unless adaptive quadrature is enabled.
+
+    This is the distance-graded quadrature the reference approximates with a
+    single global order — here the dense pass runs cheap and uniform while a
+    fixed-size gathered pass restores full accuracy where the kernel is
+    steep (own-cell singular pairs stay with the dedicated singular path)."""
+    cfg = tables.cfg
+    if tables.hq_weights is None:
+        return V, K
+    d = cfg.dim
+    n = tables.n_nodes
+    dt = cfg.dtype
+    cells_map = jnp.asarray(tables.cells_nodes_map)
+    cells_fe = jnp.asarray(tables.cells_nodes_fe)
+    Nc, nl = tables.cells_nodes_fe.shape
+    Kn = min(cfg.near_panels, Nc)
+    flip_all = jnp.asarray(tables.flip_sign, dt)
+
+    centers = euler[cells_map].mean(axis=1).astype(dt)  # [Nc, d]
+    d2 = jnp.sum(
+        (xi[:, None, :].astype(dt) - centers[None, :, :]) ** 2, axis=-1
+    )  # [nr, Nc]
+    _, near = jax.lax.top_k(-d2, Kn)  # [nr, Kn] panel indices
+
+    lo_rule = (tables.q_weights, tables.phi_map, tables.dphi_map, tables.phi_fe)
+    hi_rule = (tables.hq_weights, tables.hphi_map, tables.hdphi_map, tables.hphi_fe)
+
+    RC = 256
+    nr_real = xi.shape[0]
+    xi_p = _pad_to_multiple(xi.astype(dt), RC, 0, pad_value=1e8)
+    ids_p = _pad_to_multiple(node_ids, RC, 0, pad_value=-1)
+    near_p = _pad_to_multiple(near, RC, 0)
+    n_rchunks = xi_p.shape[0] // RC
+    rows_p = _pad_to_multiple(
+        jnp.arange(nr_real, dtype=jnp.int32), RC, 0, pad_value=jnp.int32(d * nr + d * n)
+    )
+
+    def chunk(args):
+        xi_c, ids_c, near_c, rows_c = args  # [RC, d], [RC], [RC, Kn], [RC]
+        ec = euler[cells_map[near_c]].astype(dt)  # [RC, Kn, nlm, d]
+        flip = flip_all[near_c]
+        cols = cells_fe[near_c]  # [RC, Kn, nl]
+        # mask singular (own-cell) pairs and padded rows
+        sing = jnp.any(cols == ids_c[:, None, None], axis=-1)  # [RC, Kn]
+        keep = ((~sing) & (ids_c[:, None] >= 0)).astype(dt)
+        Vh, Kh = _pair_local_blocks(cfg, ec, flip, xi_c, keep, hi_rule, dt)
+        Vl, Kl = _pair_local_blocks(cfg, ec, flip, xi_c, keep, lo_rule, dt)
+        dV = Vh - Vl  # [RC, Kn, d, d, nl]
+        dK = Kh - Kl
+        # scatter rows (a, row) local; cols (b, cells_fe) global
+        big = jnp.int32(d * nr + d * n)
+        row_idx = jnp.where(
+            rows_c[:, None] < nr,
+            jnp.arange(d, dtype=jnp.int32)[None, :] * nr + rows_c[:, None],
+            big,
+        )  # [RC, d]
+        col_idx = (
+            jnp.arange(d, dtype=jnp.int32)[None, None, :, None] * n
+            + cols[:, :, None, :]
+        )  # [RC, Kn, d, nl]
+        ri = jnp.broadcast_to(
+            row_idx[:, None, :, None, None], (RC, Kn, d, d, nl)
+        ).reshape(-1)
+        ci = jnp.broadcast_to(
+            col_idx[:, :, None, :, :], (RC, Kn, d, d, nl)
+        ).reshape(-1)
+        return ri, ci, dV.reshape(-1), dK.reshape(-1)
+
+    ris, cis, dVs, dKs = jax.lax.map(
+        chunk,
+        (
+            xi_p.reshape(n_rchunks, RC, d),
+            ids_p.reshape(n_rchunks, RC),
+            near_p.reshape(n_rchunks, RC, Kn),
+            rows_p.reshape(n_rchunks, RC),
+        ),
+    )
+    V = V.at[ris.reshape(-1), cis.reshape(-1)].add(dVs.reshape(-1), mode="drop")
+    K = K.at[ris.reshape(-1), cis.reshape(-1)].add(dKs.reshape(-1), mode="drop")
     return V, K
 
 

@@ -6,6 +6,12 @@ from .sharded import (
     slab_to_flat,
     flat_to_slab,
 )
+from .multihost import (
+    initialize_multihost,
+    global_row_mesh,
+    is_coordinator,
+    replicate_to_global,
+)
 
 __all__ = [
     "row_mesh",
@@ -14,4 +20,8 @@ __all__ = [
     "sharded_matvec",
     "slab_to_flat",
     "flat_to_slab",
+    "initialize_multihost",
+    "global_row_mesh",
+    "is_coordinator",
+    "replicate_to_global",
 ]

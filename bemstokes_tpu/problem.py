@@ -125,6 +125,8 @@ class StokesBEMProblem:
             wall_axis=wall_axis,
             wall_position=wall_position,
             quad_order=self.cfg.quadrature.order,
+            quad_order_far=self.cfg.quadrature.order_far,
+            near_panels=self.cfg.quadrature.near_panels,
             singular_quadrature_order=self.cfg.quadrature.singular_order,
             singular_quadrature_type=self.cfg.quadrature.singular_type,
             row_tile=self.cfg.row_tile,
@@ -199,7 +201,12 @@ class StokesBEMProblem:
             )
 
         self.preconditioner = LUPreconditioner(
-            self.cfg.solver.refactor_iteration_trigger
+            self.cfg.solver.refactor_iteration_trigger,
+            factor_dtype=(
+                jnp.float32
+                if self.cfg.solver.preconditioner_dtype == "float32"
+                else None
+            ),
         )
         # stale-LU bookkeeping (reference `reassemble_preconditoner`,
         # `source/bem_stokes.cc:5679, 4336-4339`): the factorization from an
