@@ -50,6 +50,21 @@ def _build_parser():
     par = sub.add_parser("params", help="write a template parameter file")
     par.add_argument("-p", "--params", default="parameters_3d.json")
     par.add_argument("--dim", type=int, default=3, choices=(2, 3))
+
+    conv = sub.add_parser(
+        "convergence",
+        help="fundamental-solution convergence study over n_cycles "
+        "refinements (reference V_test_with_Green family)",
+    )
+    common(conv)
+    conv.add_argument("--cycles", type=int, default=None, help="override n_cycles")
+    conv.add_argument(
+        "--source",
+        type=float,
+        nargs="+",
+        default=None,
+        help="interior Stokeslet source point (default 0.3 0.3 0.3 / 0.1 0.2)",
+    )
     return p
 
 
@@ -84,6 +99,34 @@ def main(argv=None):
         os.makedirs(args.output_dir, exist_ok=True)
         save_config(cfg, path)
         print(f"no parameter file given; wrote defaults to {path}", file=sys.stderr)
+
+    if args.command == "convergence":
+        from .convergence import convergence_study, format_table
+        from .mesh import read_mesh
+        from .problem import _resolve_manifold
+
+        mesh = read_mesh(
+            f"{cfg.input_grid_path}{cfg.input_grid_base_name}0."
+            f"{cfg.input_grid_format}",
+            dim=cfg.dim,
+            force_material=0,
+        )
+        source = tuple(args.source) if args.source else (
+            (0.3, 0.3, 0.3) if cfg.dim == 3 else (0.1, 0.2)
+        )
+        rows = convergence_study(
+            mesh,
+            cfg.dim,
+            source,
+            n_cycles=args.cycles or cfg.n_cycles,
+            manifold=_resolve_manifold(cfg),
+            fe_degree=cfg.fe_degree,
+            map_degree=cfg.map_degree,
+            quad_order=cfg.quadrature.order,
+            sing_order=cfg.quadrature.singular_order,
+        )
+        print(format_table(rows))
+        return 0
 
     from .swimmer import SwimmerSimulation
 

@@ -139,10 +139,11 @@ class ProblemConfig:
     row_tile: int = 32
     cell_chunk: int = 256
     # curved geometry: snap high-order mapping nodes onto an analytic body
-    # manifold (none|sphere|cylinder) — required to reach the 1e-6 sphere-drag
-    # validation target with map_degree >= 2
+    # manifold (none|sphere|spheroid|cylinder) — required to reach the 1e-6
+    # sphere-drag validation target with map_degree >= 2
     body_manifold: str = "none"
     body_manifold_center: tuple = (0.0, 0.0, 0.0)
+    body_manifold_radii: tuple = (2.0, 1.0, 1.0)  # spheroid semi-axes
     # exact manifold radius: map nodes snap onto the analytic surface; None
     # keeps the (approximate) mesh-file geometry with per-cell projection
     body_manifold_radius: float | None = 1.0

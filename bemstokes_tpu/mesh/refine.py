@@ -44,6 +44,28 @@ class SphericalManifold:
         return self.center + rel / r * self.radius
 
 
+class SpheroidManifold:
+    """Ellipsoid with semi-axes `radii` centered at `center`: points map to
+    unit-sphere coordinates, snap/project there, and map back — the analytic
+    manifold for the prolate-spheroid validation configs (BASELINE.md
+    lambda=2 mobility)."""
+
+    def __init__(self, radii=(2.0, 1.0, 1.0), center=(0.0, 0.0, 0.0)):
+        self.radii = np.asarray(radii, dtype=np.float64)
+        self.center = np.asarray(center, dtype=np.float64)
+        self.radius = 1.0  # unit radius in mapped coordinates (enables snap)
+        self._sphere = SphericalManifold(np.zeros_like(self.center), radius=1.0)
+
+    def snap(self, pts: np.ndarray) -> np.ndarray:
+        u = (pts - self.center) / self.radii
+        return self._sphere.snap(u) * self.radii + self.center
+
+    def project(self, pts: np.ndarray, parent_pts: np.ndarray) -> np.ndarray:
+        u = (pts - self.center) / self.radii
+        pu = (parent_pts - self.center) / self.radii
+        return self._sphere.project(u, pu) * self.radii + self.center
+
+
 class CylindricalManifold:
     """Project radially onto the cylinder around `axis` through
     `point_on_axis`, preserving the axial coordinate."""

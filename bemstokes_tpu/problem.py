@@ -66,12 +66,21 @@ def _resolve_manifold(cfg: ProblemConfig):
     kind = getattr(cfg, "body_manifold", "none")
     if kind in (None, "none", ""):
         return None
-    from .mesh.refine import CylindricalManifold, SphericalManifold
+    from .mesh.refine import (
+        CylindricalManifold,
+        SphericalManifold,
+        SpheroidManifold,
+    )
 
     center = getattr(cfg, "body_manifold_center", (0.0, 0.0, 0.0))
     radius = getattr(cfg, "body_manifold_radius", None)
     if kind == "sphere":
         return SphericalManifold(center[: cfg.dim], radius=radius)
+    if kind == "spheroid":
+        return SpheroidManifold(
+            radii=getattr(cfg, "body_manifold_radii", (2.0, 1.0, 1.0)),
+            center=center[: cfg.dim],
+        )
     if kind == "cylinder":
         return CylindricalManifold(
             direction=cfg.cylinder.direction,
