@@ -51,6 +51,22 @@ def _edge_set(mesh: SurfaceMesh) -> dict[tuple[int, int], int]:
     return edge_count
 
 
+def hanging_vertex_pairs(mesh: SurfaceMesh) -> dict[int, tuple[int, int]]:
+    """Raw hanging-vertex map {midpoint: (parent_a, parent_b)} (un-expanded:
+    parents may themselves hang on a coarser front)."""
+    if mesh.cells.shape[1] != 4:
+        return {}
+    edge_count = _edge_set(mesh)
+    raw: dict[int, tuple[int, int]] = {}
+    if mesh.edge_midpoints is not None:
+        for m, a, b in mesh.edge_midpoints:
+            key = (int(a), int(b)) if a < b else (int(b), int(a))
+            if key in edge_count:
+                raw[int(m)] = key
+        return raw
+    return _geometric_hanging_pairs(mesh, edge_count)
+
+
 def hanging_node_constraints(mesh: SurfaceMesh) -> HangingConstraints:
     """Detect hanging vertices of a (possibly locally refined) quad mesh.
 
@@ -64,15 +80,14 @@ def hanging_node_constraints(mesh: SurfaceMesh) -> HangingConstraints:
         return HangingConstraints(
             np.zeros(0, np.int32), np.zeros((0, 2), np.int32), np.zeros((0, 2))
         )
-    edge_count = _edge_set(mesh)
+    raw = hanging_vertex_pairs(mesh)
+    return _build_constraints({m: {a: 0.5, b: 0.5} for m, (a, b) in raw.items()})
 
+
+def _geometric_hanging_pairs(
+    mesh: SurfaceMesh, edge_count: dict[tuple[int, int], int]
+) -> dict[int, tuple[int, int]]:
     raw: dict[int, tuple[int, int]] = {}
-    if mesh.edge_midpoints is not None:
-        for m, a, b in mesh.edge_midpoints:
-            key = (int(a), int(b)) if a < b else (int(b), int(a))
-            if key in edge_count:
-                raw[int(m)] = key
-        return _build_constraints(raw)
 
     # ---- fallback: geometric detection for externally refined meshes ----
     # vertex -> neighbors over single-cell edges (refinement front candidates)
@@ -123,23 +138,28 @@ def hanging_node_constraints(mesh: SurfaceMesh) -> HangingConstraints:
             stacklevel=2,
         )
 
-    return _build_constraints(raw)
+    return raw
 
 
-def _build_constraints(raw: dict[int, tuple[int, int]]) -> HangingConstraints:
-    # resolve chains: a master that is itself a slave expands to its masters
+def _build_constraints(
+    raw: dict[int, dict[int, float]]
+) -> HangingConstraints:
+    """Resolve a {slave: {master: weight}} map into flat constraint arrays,
+    expanding chains (a master that is itself a slave expands recursively)."""
+
     def expand(node: int, weight: float, acc: dict[int, float], depth=0):
         if node in raw and depth < 8:
-            for parent in raw[node]:
-                expand(parent, 0.5 * weight, acc, depth + 1)
+            for parent, w in raw[node].items():
+                expand(parent, w * weight, acc, depth + 1)
         else:
             acc[node] = acc.get(node, 0.0) + weight
 
     slaves, masters, weights = [], [], []
-    for m, (a, b) in sorted(raw.items()):
+    for m, entries in sorted(raw.items()):
         acc: dict[int, float] = {}
-        expand(a, 0.5, acc)
-        expand(b, 0.5, acc)
+        for parent, w in entries.items():
+            expand(parent, w, acc)
+        acc = {k: v for k, v in acc.items() if v != 0.0}
         slaves.append(m)
         masters.append(list(acc.keys()))
         weights.append(list(acc.values()))
@@ -155,6 +175,90 @@ def _build_constraints(raw: dict[int, tuple[int, int]]) -> HangingConstraints:
         mast[i, : len(ms)] = ms
         wts[i, : len(ws)] = ws
     return HangingConstraints(np.asarray(slaves, np.int32), mast, wts)
+
+
+def _edge_node_map(space) -> dict[tuple[int, int], np.ndarray]:
+    """(va, vb) (sorted vertex pair) -> the degree-1 interior edge node ids of
+    a scalar space, ordered from min(va, vb) to max."""
+    d = space.degree
+    mesh = space.mesh
+    n1 = d + 1
+
+    def lex(i, j):
+        return j * n1 + i
+
+    edges_def = [
+        (0, 1, [lex(i, 0) for i in range(1, d)]),
+        (2, 3, [lex(i, d) for i in range(1, d)]),
+        (0, 2, [lex(0, j) for j in range(1, d)]),
+        (1, 3, [lex(d, j) for j in range(1, d)]),
+    ]
+    corner_local = {0: lex(0, 0), 1: lex(d, 0), 2: lex(0, d), 3: lex(d, d)}
+    out: dict[tuple[int, int], np.ndarray] = {}
+    for c in range(mesh.n_cells):
+        verts = mesh.cells[c]
+        for va_l, vb_l, locals_along in edges_def:
+            va, vb = int(verts[va_l]), int(verts[vb_l])
+            key = (min(va, vb), max(va, vb))
+            if key in out:
+                continue
+            ids = space.cells_nodes[c, locals_along]
+            out[key] = ids if va <= vb else ids[::-1]
+    return out
+
+
+def _lagrange_1d(deg: int, t: float) -> np.ndarray:
+    """Values of the degree-`deg` 1D Lagrange basis (equispaced nodes on
+    [0, 1]) at parameter t — [deg+1] ordered by node position."""
+    nodes = np.linspace(0.0, 1.0, deg + 1)
+    vals = np.ones(deg + 1)
+    for j in range(deg + 1):
+        for k in range(deg + 1):
+            if k != j:
+                vals[j] *= (t - nodes[k]) / (nodes[j] - nodes[k])
+    return vals
+
+
+def hanging_node_constraints_for_space(mesh: SurfaceMesh, space) -> HangingConstraints:
+    """Hanging-node constraints in the scalar-node numbering of a degree-d
+    Lagrange space: on each hanging parent edge (a, b) with midpoint m, the
+    fine-side nodes (the vertex m and the interior nodes of the half edges
+    (a, m), (m, b)) must interpolate the coarse edge's degree-d trace —
+    deal.II's make_hanging_node_constraints for quads
+    (reference usage `source/bem_stokes.cc:1654-1656`)."""
+    d = space.degree
+    if d == 1 or mesh.cells.shape[1] != 4:
+        return hanging_node_constraints(mesh)
+    pairs = hanging_vertex_pairs(mesh)
+    if not pairs:
+        return HangingConstraints(
+            np.zeros(0, np.int32), np.zeros((0, 2), np.int32), np.zeros((0, 2))
+        )
+    edge_nodes = _edge_node_map(space)
+    raw: dict[int, dict[int, float]] = {}
+    for m, (a, b) in pairs.items():
+        key = (a, b)  # already sorted
+        if key not in edge_nodes:
+            continue
+        # coarse edge nodes ordered along the a -> b parametrization
+        coarse = [a] + [int(x) for x in edge_nodes[key]] + [b]
+
+        def constrain(node: int, t: float):
+            w = _lagrange_1d(d, t)
+            raw[int(node)] = {
+                cn: float(wj) for cn, wj in zip(coarse, w) if wj != 0.0
+            }
+
+        constrain(m, 0.5)
+        for lo, hi, t0, t1 in ((a, m, 0.0, 0.5), (m, b, 0.5, 1.0)):
+            fkey = (min(lo, hi), max(lo, hi))
+            if fkey not in edge_nodes:
+                continue
+            fids = edge_nodes[fkey]  # ordered min -> max
+            tmin, tmax = (t0, t1) if fkey[0] == lo else (t1, t0)
+            for k, node in enumerate(fids, start=1):
+                constrain(node, tmin + (k / d) * (tmax - tmin))
+    return _build_constraints(raw)
 
 
 def apply_hanging_constraints_monolithic(A, rhs, hc: HangingConstraints, n, d):

@@ -82,10 +82,18 @@ class AssemblyConfig:
     row_tile: int = 32  # collocation nodes per tile
     cell_chunk: int = 256  # panels per inner chunk
     dtype: jnp.dtype = jnp.float64
-    # column reduction strategy: "gather" emits dense per-cell-slot tensors in
-    # the hot loop and maps slots -> node columns with one static incidence
-    # gather (TPU-fast, no scatter); "scatter" is the naive scatter-add path
-    # (kept for A/B benchmarking and as a reference semantics oracle)
+    # column reduction strategy:
+    # - "gather" (default): emits dense per-cell-slot tensors in the hot
+    #   loop and maps slots -> node columns with one static incidence gather
+    #   (no scatter) — the fastest XLA formulation;
+    # - "node": column-centric pairwise pass — per-column quadrature tables
+    #   (each node's incident panel qpoints gathered ONCE per frame) turn
+    #   assembly into a pure N-body-style interaction kernel with ZERO
+    #   gather/scatter in the hot loop; own-cell contributions are
+    #   delta-corrected by the singular path.  Slower under XLA (kernel
+    #   evals are not shared across a cell's columns) but the natural shape
+    #   for the fused Pallas backend, which keeps every intermediate in VMEM;
+    # - "scatter": the naive scatter-add path (reference semantics oracle).
     column_mode: str = "gather"
     # tile-body backend: "jax" (XLA-fused) or "pallas" (hand-fused kernel,
     # ops.pallas_assemble; dim-3 free-space only, other configs fall back).
@@ -355,6 +363,11 @@ def assemble_rows(
     )  # [Nc, nq, d], [Nc, nq, d], [Nc, nq]
     phi_fe = jnp.asarray(tables.phi_fe, dt)  # [nq, nl]
 
+    if cfg.column_mode == "node":
+        return _assemble_rows_node(
+            euler, support_pts, xi, node_ids, r0, tables, xq, normals, jxw
+        )
+
     tile = min(cfg.row_tile, nr)
     xi_p = _pad_to_multiple(xi, tile, 0)
     ids_p = _pad_to_multiple(node_ids, tile, 0, pad_value=-1)
@@ -513,6 +526,153 @@ def assemble_rows(
     return V, K
 
 
+def _assemble_rows_node(
+    euler, support_pts, xi, node_ids, r0, tables: AssemblyTables, xq, normals, jxw
+):
+    """Column-centric dense pass: gather each column node's incident panel
+    quadrature (points, normals, JxW-weighted shape value) ONCE, then run a
+    pure pairwise interaction sweep (row tile x column chunk) with no
+    gather/scatter inside the hot loop.  Own-cell (singular) contributions
+    are included here with the smooth rule and replaced by the singular path
+    via delta correction (`_add_singular_rows(subtract_smooth=True)`)."""
+    cfg = tables.cfg
+    d = cfg.dim
+    n = tables.n_nodes
+    dt = cfg.dtype
+    nr = xi.shape[0]
+    nq = xq.shape[1]
+    nl = tables.nl_fe
+    phi_fe = jnp.asarray(tables.phi_fe, dt)  # [nq, nl]
+    wphi = jxw[:, :, None] * phi_fe[None]  # [Nc, nq, nl]
+
+    inc_slot = jnp.asarray(tables.inc_slot)  # [n, vmax]
+    inc_mask = jnp.asarray(tables.inc_mask, dt)
+    cell_of = inc_slot // nl
+    loc_of = inc_slot % nl
+    vmax = inc_slot.shape[1]
+    m = vmax * nq
+
+    Yj = xq[cell_of].reshape(n, m, d)  # [n, m, d]
+    Nj = normals[cell_of].reshape(n, m, d)
+    Wj = jnp.take_along_axis(
+        wphi[cell_of], loc_of[:, :, None, None], axis=3
+    )[..., 0]
+    Wj = (Wj * inc_mask[:, :, None]).reshape(n, m)
+
+    use_pallas = (
+        cfg.backend in ("pallas", "pallas_interpret")
+        and d == 3
+        and cfg.kernel == KERNEL_FREE_SPACE
+    )
+    if use_pallas:
+        from .pallas_node import pallas_node_blocks
+
+        T = 128
+        CJ = 128
+        xi_p = _pad_to_multiple(xi.astype(dt), T, 0, pad_value=1e8)
+        n_tiles = xi_p.shape[0] // T
+        Y4 = _pad_to_multiple(
+            Yj.reshape(n, vmax, nq, d), CJ, 0, pad_value=1e8
+        )
+        N4 = _pad_to_multiple(Nj.reshape(n, vmax, nq, d), CJ, 0)
+        W3 = _pad_to_multiple(Wj.reshape(n, vmax, nq), CJ, 0)
+        ncj = Y4.shape[0] // CJ
+        Y_soa = (
+            Y4.reshape(ncj, CJ, vmax, nq, d)
+            .transpose(0, 2, 4, 1, 3)
+            .reshape(ncj, vmax, d, CJ * nq)
+        )
+        N_soa = (
+            N4.reshape(ncj, CJ, vmax, nq, d)
+            .transpose(0, 2, 4, 1, 3)
+            .reshape(ncj, vmax, d, CJ * nq)
+        )
+        W_b = W3.reshape(ncj, CJ, vmax, nq).transpose(0, 2, 1, 3)
+        Vb, Kb = pallas_node_blocks(
+            xi_p,
+            Y_soa,
+            N_soa,
+            W_b,
+            CJ=CJ,
+            nq=nq,
+            vmax=vmax,
+            T=T,
+            interpret=(cfg.backend == "pallas_interpret"),
+        )  # [n_tiles, ncj, 9, CJ, T]
+
+        def blocks_to_dense(arr):
+            a = arr.reshape(n_tiles, ncj, 3, 3, CJ, T)
+            a = a.transpose(2, 0, 5, 3, 1, 4)  # [3, nt, T, 3, ncj, CJ]
+            a = a.reshape(3, n_tiles * T, 3, ncj * CJ)[:, :nr, :, :n]
+            return a.reshape(d * nr, d * n)
+
+        V = blocks_to_dense(Vb)
+        K = blocks_to_dense(Kb)
+        V, K = _add_near_corrections(
+            V, K, euler, support_pts, xi, node_ids, tables, nr
+        )
+        return _add_singular_rows(
+            V, K, euler, support_pts, tables, r0, nr, subtract_smooth=True
+        )
+
+    cj = min(cfg.cell_chunk, n)
+    Yp = _pad_to_multiple(Yj, cj, 0, pad_value=1e8)
+    Np = _pad_to_multiple(Nj, cj, 0)
+    Wp = _pad_to_multiple(Wj, cj, 0)
+    ncj = Yp.shape[0] // cj
+    Yc = Yp.reshape(ncj, cj, m, d)
+    Nc_ = Np.reshape(ncj, cj, m, d)
+    Wc = Wp.reshape(ncj, cj, m)
+
+    tile = min(cfg.row_tile, nr)
+    xi_p = _pad_to_multiple(xi.astype(dt), tile, 0, pad_value=1e8)
+    n_tiles = xi_p.shape[0] // tile
+
+    def tile_rows(xi_t):  # [tile, d]
+        if cfg.kernel != KERNEL_FREE_SPACE:
+            xi_img = image_point(xi_t, cfg.wall_axis, cfg.wall_position)
+
+        def col_chunk(_, inp):
+            Ycc, Ncc, Wcc = inp
+            R = Ycc[None, :, :, :] - xi_t[:, None, None, :]  # [t, cj, m, d]
+            # exact R == 0 (a collocation node coinciding with one of its own
+            # cells' quadrature points, e.g. Q2 center vs odd-order Gauss)
+            # gets a dummy offset; the singular delta subtracts the SAME
+            # dummy value, so the pair cancels exactly
+            r0mask = jnp.sum(R * R, axis=-1, keepdims=True) == 0
+            R = jnp.where(r0mask, jnp.ones_like(R), R)
+            if cfg.kernel == KERNEL_FREE_SPACE:
+                R_img = R
+            else:
+                R_img = Ycc[None, :, :, :] - xi_img[:, None, None, :]
+                R_img = jnp.where(r0mask, jnp.ones_like(R_img), R_img)
+            G, Wn = _eval_G_Wn(cfg, R, R_img, Ncc[None])
+            Vb = jnp.einsum("tjmab,jm->tabj", G, Wcc)
+            Kb = -jnp.einsum("tjmab,jm->tabj", Wn, Wcc)
+            return None, (Vb, Kb)
+
+        _, (Vbs, Kbs) = jax.lax.scan(col_chunk, None, (Yc, Nc_, Wc))
+        # [ncj, t, d, d, cj] -> [t, d, d, n] -> [t, d, d*n]
+        rowV = Vbs.transpose(1, 2, 3, 0, 4).reshape(tile, d, d, ncj * cj)
+        rowK = Kbs.transpose(1, 2, 3, 0, 4).reshape(tile, d, d, ncj * cj)
+        return (
+            rowV[..., :n].reshape(tile, d, d * n),
+            rowK[..., :n].reshape(tile, d, d * n),
+        )
+
+    rowsV, rowsK = jax.lax.map(tile_rows, xi_p.reshape(n_tiles, tile, d))
+    rowsV = rowsV.reshape(n_tiles * tile, d, d * n)[:nr].transpose(1, 0, 2)
+    rowsK = rowsK.reshape(n_tiles * tile, d, d * n)[:nr].transpose(1, 0, 2)
+    V = rowsV.reshape(d * nr, d * n)
+    K = rowsK.reshape(d * nr, d * n)
+
+    V, K = _add_near_corrections(V, K, euler, support_pts, xi, node_ids, tables, nr)
+    V, K = _add_singular_rows(
+        V, K, euler, support_pts, tables, r0, nr, subtract_smooth=True
+    )
+    return V, K
+
+
 def _pair_local_blocks(cfg, euler_cells, flip, xi_rows, keep, rule, dt):
     """Local (V, K) blocks [RC, Kn, d, d, nl] for gathered (row, panel)
     pairs, evaluated on one quadrature rule.
@@ -632,11 +792,18 @@ def _add_near_corrections(V, K, euler, support_pts, xi, node_ids, tables, nr):
     return V, K
 
 
-def _add_singular_rows(V, K, euler, support_pts, tables: AssemblyTables, r0, nr):
+def _add_singular_rows(
+    V, K, euler, support_pts, tables: AssemblyTables, r0, nr, subtract_smooth=False
+):
     """Batched singular-pair integrals: for every (cell c, local node l) the
     collocation point is the cell's own node and the rule is the precomputed
     per-local-node singular rule.  Contributions whose row node falls outside
-    [r0, r0+nr) are dropped (each shard keeps only its own rows)."""
+    [r0, r0+nr) are dropped (each shard keeps only its own rows).
+
+    With `subtract_smooth` (column_mode="node") the dense pass already added
+    an own-cell contribution with the smooth rule; this path adds
+    (singular - smooth) so the net own-cell value is the singular-rule
+    integral."""
     cfg = tables.cfg
     d = cfg.dim
     n = tables.n_nodes
@@ -681,6 +848,35 @@ def _add_singular_rows(V, K, euler, support_pts, tables: AssemblyTables, r0, nr)
 
     Vloc = jnp.einsum("clqab,clq,lqm->clabm", G, jxw, sphi_fe)
     Kloc = -jnp.einsum("clqab,clq,lqm->clabm", Wn, jxw, sphi_fe)
+
+    if subtract_smooth:
+        # remove the dense pass's own-cell smooth-rule contribution: same
+        # smooth rule (tables.q_weights = the dense rule), same dummy-offset
+        # convention for exact R == 0, evaluated per (cell, row-local-node)
+        from ..fem.geometry import panel_geometry
+
+        xq_s, normals_s, jxw_s = panel_geometry(
+            euler_cells,
+            jnp.asarray(tables.phi_map, dt),
+            jnp.asarray(tables.dphi_map, dt),
+            jnp.asarray(tables.q_weights, dt),
+            jnp.asarray(tables.flip_sign, dt),
+            ambient_dim=d,
+        )  # [Nc, nq, ...]
+        wphi_s = jxw_s[:, :, None] * jnp.asarray(tables.phi_fe, dt)[None]
+        R2 = xq_s[:, None, :, :] - xi[:, :, None, :]  # [Nc, nl, nq, d]
+        r0m = jnp.sum(R2 * R2, axis=-1, keepdims=True) == 0
+        R2 = jnp.where(r0m, jnp.ones_like(R2), R2)
+        if cfg.kernel == KERNEL_FREE_SPACE:
+            R2_img = R2
+        else:
+            R2_img = xq_s[:, None, :, :] - xi_img[:, :, None, :]
+            R2_img = jnp.where(r0m, jnp.ones_like(R2_img), R2_img)
+        G2, Wn2 = _eval_G_Wn(
+            cfg, R2, R2_img, normals_s[:, None]
+        )  # [Nc, nl, nq, d, d]
+        Vloc = Vloc - jnp.einsum("clqab,cqm->clabm", G2, wphi_s)
+        Kloc = Kloc + jnp.einsum("clqab,cqm->clabm", Wn2, wphi_s)
 
     # scatter: row (a, cells_fe[c, l] - r0) local to this shard; col
     # (b, cells_fe[c, m]) global.  Out-of-shard rows get an out-of-bounds

@@ -175,14 +175,9 @@ class StokesBEMProblem:
             (self.body_node_mask > 0) & ~(init_sp[:, 0] > -0.1)
         ).astype(np.float64)
 
-        from .mesh.constraints import hanging_node_constraints
+        from .mesh.constraints import hanging_node_constraints_for_space
 
-        self.hanging = hanging_node_constraints(mesh)
-        if self.hanging.n and self.cfg.fe_degree != 1:
-            raise NotImplementedError(
-                "hanging-node constraints are Q1-only; refine conformingly or "
-                "use fe_degree=1 on locally refined meshes"
-            )
+        self.hanging = hanging_node_constraints_for_space(mesh, self.fe_space)
         if self.hanging.n and self.cfg.map_degree != 1:
             # a degree >= 2 map space on a non-conforming mesh has distinct
             # coarse/fine DoFs along the hanging edge; euler_from_mesh's

@@ -122,11 +122,17 @@ class SwimmerSimulation:
                 )
             )
         d = self.problem.dim
-        q = np.asarray(cfg.initial_quaternion, dtype=np.float64)
-        self.state = SwimmerState(
-            rotation=np.asarray(
+        if d == 3:
+            q = np.asarray(cfg.initial_quaternion, dtype=np.float64)
+            rot0 = np.asarray(
                 rotation_matrix_from_quaternion(jnp.asarray(q / np.linalg.norm(q)))
-            ),
+            )
+        else:
+            # 2D: rotations are tracked as displacement history only (the
+            # reference's quaternion machinery is 3D-only)
+            rot0 = np.eye(2)
+        self.state = SwimmerState(
+            rotation=rot0,
             displacements=np.zeros((self.problem.map_space.n_nodes, d)),
             frame=0,
         )
@@ -427,7 +433,8 @@ class SwimmerSimulation:
         displacements and write composed VTUs + mean stroke velocity
         (reference `composer` `:5951-6046`)."""
         cfg = self.cfg
-        total_disp = np.zeros(3)
+        d = self.problem.dim
+        total_disp = np.zeros(d)
         mean_U = np.zeros(self.problem.num_rigid)
         count = 0
         for frame in range(start_frame, end_frame, cfg.delta_frame):
@@ -435,12 +442,12 @@ class SwimmerSimulation:
             U = z["rigid_velocities"]
             mean_U += U
             count += 1
-            total_disp += cfg.time_step * U[:3]
+            total_disp += cfg.time_step * U[:d]
             euler = z["euler"] + total_disp[None, :] * (self.map_body_mask > 0)
             write_vtu(
                 os.path.join(self.out, f"composed_{frame}.vtu"),
                 euler,
-                self.problem.map_space.cells_nodes[:, :4],
+                self.problem.map_space.cells_nodes[:, : 4 if d == 3 else 2],
                 point_data=dict(forces=z["stokes_forces"]),
             )
         mean_U /= max(count, 1)

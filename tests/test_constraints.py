@@ -136,3 +136,72 @@ def test_records_survive_merge(reference_grid_dir):
             * merged.vertices[after.masters[i][live]]
         ).sum(0)
         assert np.allclose(merged.vertices[after.slaves[i]], mid, atol=1e-12)
+
+
+def test_q2_hanging_constraints_interpolation():
+    """Degree-2 hanging-edge constraints must reproduce any globally
+    quadratic field exactly: on a FLAT locally refined mesh (straight edges)
+    the trace of a quadratic along an edge is a 1D quadratic, so slave
+    values equal the constrained combination of masters bit-for-bit-ish."""
+    from bemstokes_tpu.mesh.surface_mesh import SurfaceMesh
+    from bemstokes_tpu.mesh import build_scalar_space
+    from bemstokes_tpu.mesh.constraints import hanging_node_constraints_for_space
+
+    verts = np.array(
+        [[x, y, 0.0] for y in (0.0, 1.0, 2.0) for x in (0.0, 1.0, 2.0)]
+    )
+    cells = np.array(
+        [[0, 1, 3, 4], [1, 2, 4, 5], [3, 4, 6, 7], [4, 5, 7, 8]], np.int32
+    )
+    mesh = SurfaceMesh(verts, cells, np.zeros(4, np.int32))
+    fine = refine_uniform(mesh, cell_filter=np.array([True, False, False, False]))
+    for degree in (2, 3):
+        space = build_scalar_space(fine, degree)
+        hc = hanging_node_constraints_for_space(fine, space)
+        assert hc.n > 0
+        pos = space.node_positions()
+        f = 1.0 + 2.0 * pos[:, 0] - 0.7 * pos[:, 1] + 0.3 * pos[:, 0] * pos[:, 1]
+        if degree >= 2:
+            f = f + 0.9 * pos[:, 0] ** 2 - 0.4 * pos[:, 1] ** 2
+        lhs = f[hc.slaves]
+        rhs = (hc.weights * f[hc.masters]).sum(axis=1)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-12)
+
+
+def test_q2_solve_on_locally_refined_sphere(reference_grid_dir):
+    """End-to-end Q2 solve on a non-conforming sphere: the guard is gone,
+    the solved system satisfies the constraints and approaches Stokes drag."""
+    import jax.numpy as jnp
+    from bemstokes_tpu.physics.rigid import flatten
+
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    mesh = refine_uniform(
+        mesh, SphericalManifold(), cell_filter=centers[:, 0] > 0.0
+    )
+    cfg = ProblemConfig(
+        grid_type="ImposedVelocity",
+        imposed_component=0,
+        fe_degree=2,
+        map_degree=1,
+        force_pole="Origin",
+        solver=SolverConfig(solve_directly=True),
+    )
+    prob = StokesBEMProblem(mesh, cfg)
+    assert prob.hanging.n > 0
+    res = prob.solve_frame(prob.initial_euler(), jnp.zeros((3 * prob.n,)))
+    assert res["residual"] < 1e-8
+    # solved tractions satisfy the interpolation constraints exactly
+    hc = prob.hanging
+    f = np.asarray(res["stokes_forces"]).reshape(3, prob.n)
+    for c in range(3):
+        lhs = f[c][hc.slaves]
+        rhs = (hc.weights * f[c][hc.masters]).sum(axis=1)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-10)
+    F = float(
+        jnp.dot(
+            flatten(jnp.asarray(res["operators"]["N_dual"][0])),
+            res["stokes_forces"],
+        )
+    )
+    assert abs(abs(F) - 6 * np.pi) / (6 * np.pi) < 0.05
