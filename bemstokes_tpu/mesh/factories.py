@@ -79,6 +79,67 @@ def create_box(walls_cfg, refinements: int = 1) -> SurfaceMesh:
     return box
 
 
+def create_sphere(
+    center=(0.0, 0.0, 0.0), radius: float = 1.0, refinements: int = 3
+) -> SurfaceMesh:
+    """Unit-style sphere built in code: the 6-quad surface of a cube
+    projected onto the sphere, refined through a SphericalManifold — the
+    analog of deal.II `GridGenerator::hyper_sphere` used by the reference's
+    `build_sphere_in_code` branch (`source/bem_stokes.cc:670-711`)."""
+    from .refine import SphericalManifold
+
+    center = np.asarray(center, dtype=np.float64)
+    a = radius / np.sqrt(3.0)
+    # cube corners indexed by bits (x, y, z)
+    corners = np.array(
+        [[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)], dtype=np.float64
+    )
+    verts = (2.0 * corners - 1.0) * a + center
+    # per face-normal axis: the in-plane (u, v) axes whose cross product is
+    # the outward normal; lexicographic corner order (0,0),(1,0),(0,1),(1,1)
+    uv_plus = {0: (1, 2), 1: (2, 0), 2: (0, 1)}
+    cells = []
+    for axis in range(3):
+        u, v = uv_plus[axis]
+        for side in (1, 0):
+            cell = []
+            for cv in (0, 1):
+                for cu in (0, 1):
+                    bits = [0, 0, 0]
+                    bits[axis] = side
+                    # outward normal flips on the side=0 face: swap u <-> v
+                    if side == 1:
+                        bits[u], bits[v] = cu, cv
+                    else:
+                        bits[u], bits[v] = cv, cu
+                    cell.append(bits[0] * 4 + bits[1] * 2 + bits[2])
+            # lexicographic order is (0,0),(1,0),(0,1),(1,1) = indices 0,1,2,3
+            cells.append([cell[0], cell[1], cell[2], cell[3]])
+    mesh = SurfaceMesh(
+        verts, np.asarray(cells, dtype=np.int32), np.zeros(6, dtype=np.int32)
+    )
+    if refinements:
+        mesh = refine_uniform(
+            mesh, SphericalManifold(center, radius=radius), times=refinements
+        )
+    return mesh
+
+
+def create_body_in_code(cfg) -> SurfaceMesh:
+    """The reference's `build_sphere_in_code` geometry for ImposedForce /
+    ImposedVelocity / Convergence runs: one unit sphere at the origin, or two
+    unit spheres `spheres_distance` apart along x when `two_spheres` is set
+    (`source/bem_stokes.cc:670-711`)."""
+    refinements = cfg.internal_sphere_refinements
+    sphere = create_sphere(refinements=refinements)
+    if not cfg.two_spheres:
+        return sphere
+    second = create_sphere(
+        center=(cfg.spheres_distance, 0.0, 0.0), refinements=refinements
+    )
+    return sphere.merged_with(second)
+
+
 def add_walls_to_mesh(mesh: SurfaceMesh, cfg) -> SurfaceMesh:
     """Attach configured walls / box to a swimmer mesh (reference
     `compute_euler_vector` wall insertion, `source/bem_stokes.cc:2312-2340`).

@@ -121,9 +121,13 @@ def pallas_node_blocks(
     ncj = Y.shape[0]
     dt = xi.dtype
     xi_soa = xi.T  # [3, n_tiles*T]
-    tile_i = lambda i, k: (0, i)
-    chunk_k = lambda i, k: (k, 0, 0, 0)
-    out_ik = lambda i, k: (i, k, 0, 0, 0)
+    # index maps must return a homogeneous int tuple: a leading python-int
+    # constant next to a traced i32 program id lowers to an (i64, i32)
+    # func.return that Mosaic refuses to legalize
+    z = jnp.int32(0)
+    tile_i = lambda i, k: (z, i)
+    chunk_k = lambda i, k: (k, z, z, z)
+    out_ik = lambda i, k: (i, k, z, z, z)
     V, K = pl.pallas_call(
         partial(_node_kernel, CJ=CJ, nq=nq, vmax=vmax, T=T),
         grid=(n_tiles, ncj),

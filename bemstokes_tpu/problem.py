@@ -218,6 +218,7 @@ class StokesBEMProblem:
         # only then is the NEXT frame's matrix refactored
         self._last_direct_iterations = 0
         self._jit_pipeline = jax.jit(self._pipeline)
+        self._jit_frozen_rhs = jax.jit(self._frozen_rhs)
 
     # ------------------------------------------------------------------
     def initial_euler(self) -> jnp.ndarray:
@@ -386,7 +387,49 @@ class StokesBEMProblem:
                 euler, shape_velocities_flat, rotation
             )
             jax.block_until_ready(A)
+        return self._solve_monolithic_system(A, rhs, ops, diag)
 
+    # ------------------------------------------------------------------
+    def solve_frame_frozen(self, prev_result, shape_velocities_flat):
+        """Frozen-geometry fast path: reuse the previous frame's operators
+        and monolithic matrix, recompute only the surface rhs from the new
+        gait velocity, and re-solve (the reference's squirmer branch that
+        skips `assemble_stokes_system` when `squirmer_change_geometry` is
+        false, `source/bem_stokes.cc:5734-5759`).  Only meaningful for
+        grid_type == "Real" (the rhs is sdot-independent otherwise)."""
+        A = prev_result["A"]
+        ops = prev_result["operators"]
+        diag = {k: jnp.asarray(v) for k, v in prev_result["diagnostics"].items()}
+        rhs = self._jit_frozen_rhs(
+            ops["K"],
+            flatten(ops["normal"]["normal_pure"]),
+            flatten(ops["normal"]["M_normal_pure"]),
+            ops["normal"]["l2_gamma_pure"],
+            shape_velocities_flat,
+        )
+        return self._solve_monolithic_system(A, rhs, ops, diag)
+
+    def _frozen_rhs(self, K, n_pure_f, Mn_pure_f, l2g_pure, sdot_flat):
+        dt = self.asm_cfg.dtype
+        d, n = self.dim, self.n
+
+        def P_t(v):
+            return tangential_projector(v, n_pure_f, Mn_pure_f, l2g_pure)
+
+        rhs_surface = P_t(K @ P_t(sdot_flat.astype(dt)))
+        tail_len = self.num_rigid + (1 if self.cfg.solve_with_torque else 0)
+        rhs = jnp.concatenate([rhs_surface, jnp.zeros((tail_len,), dt)])
+        if self.hanging.n:
+            comp = np.arange(d)[:, None] * n
+            rows = (self.hanging.slaves[None, :] + comp).reshape(-1)
+            rhs = rhs.at[rows].set(0.0)
+        return rhs
+
+    # ------------------------------------------------------------------
+    def _solve_monolithic_system(self, A, rhs, ops, diag):
+        from .utils import timers
+
+        cfg = self.cfg
         refactored = False
         converged = True
         with timers.scope("LAC Solve"):

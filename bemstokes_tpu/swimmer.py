@@ -95,6 +95,18 @@ class SwimmerSimulation:
             base_mesh = create_initial_flagellum_mesh(
                 self.flagellum_cfg, n_length=n_length, n_around=n_around
             )
+        elif cfg.build_sphere_in_code and cfg.grid_type in (
+            "ImposedForce",
+            "ImposedVelocity",
+            "Convergence",
+        ):
+            # sphere (or two spheres) built in code instead of frame files
+            # (reference `build_sphere_in_deal`, `source/bem_stokes.cc:670-711`)
+            from .mesh.factories import create_body_in_code
+
+            self.flagellum_cfg = None
+            base_mesh = create_body_in_code(cfg)
+            self._static_base_mesh = base_mesh
         else:
             self.flagellum_cfg = None
             base_mesh = self._read_frame_mesh(0)
@@ -181,6 +193,11 @@ class SwimmerSimulation:
                     self.reference_euler, theta, self.map_flagellum_mask
                 )
             )
+        elif getattr(self, "_static_base_mesh", None) is not None:
+            # in-code body: the gait geometry is the built mesh every frame
+            euler = euler_from_mesh(
+                self.mesh.vertices, self.problem.map_space, self.problem.manifold
+            )
         else:
             frame_mesh = add_walls_to_mesh(
                 self._read_frame_mesh(frame % self.cfg.n_frames), self.cfg
@@ -266,14 +283,27 @@ class SwimmerSimulation:
 
         run_scope = timers.scope("Run")
         run_scope.__enter__()
+        prev_res = None
         for frame in range(start_frame, end_frame, cfg.delta_frame):
             with timers.scope("BEM Reinitialisation"):
                 euler = self.euler_for_frame(frame)
                 sdot = self.shape_velocities(frame, euler)
+            # squirmer frozen-geometry fast path: reuse the operators, only
+            # rebuild the rhs (reference `source/bem_stokes.cc:5734-5759`)
+            frozen = (
+                cfg.velocity_type == "Squirmer"
+                and not cfg.squirmer_change_geometry
+                and cfg.monolithic
+                and prev_res is not None
+            )
             with timers.scope("Assemble + LAC Solve"):
-                res = self.problem.solve_frame(
-                    euler, sdot, jnp.asarray(self.state.rotation)
-                )
+                if frozen:
+                    res = self.problem.solve_frame_frozen(prev_res, sdot)
+                else:
+                    res = self.problem.solve_frame(
+                        euler, sdot, jnp.asarray(self.state.rotation)
+                    )
+            prev_res = res
             U = res["rigid_velocities"]
             if cfg.solve_with_torque:
                 # the solved motor balance defines the gait velocity

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Time assembly components at the bench shape on TPU."""
 import time, sys, os
 import jax, jax.numpy as jnp, numpy as np

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Diagnose XLA-TPU compile time of the assembly pipeline, piecewise."""
 import time, sys, os
 import jax

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, jax, jax.numpy as jnp, numpy as np
 def log(m): print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 from bemstokes_tpu.mesh import read_mesh, build_scalar_space
