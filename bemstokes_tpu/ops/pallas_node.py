@@ -45,9 +45,9 @@ def _node_kernel(xi_ref, y_ref, n_ref, w_ref, v_ref, k_ref, *, CJ, nq, vmax, T):
     dt = xi_ref.dtype
     cG = jnp.asarray(1.0 / (8.0 * math.pi), dt)
     cW = jnp.asarray(-3.0 / (4.0 * math.pi), dt)
-    xix = xi_ref[0, :][None, :]  # [1, T]
-    xiy = xi_ref[1, :][None, :]
-    xiz = xi_ref[2, :][None, :]
+    xix = xi_ref[0, 0, :][None, :]  # [1, T]
+    xiy = xi_ref[0, 1, :][None, :]
+    xiz = xi_ref[0, 2, :][None, :]
 
     # batched [CJ, 1, nq] x [CJ, nq, T] -> [CJ, 1, T]: Mosaic's dot lowering
     # requires a non-empty lhs non-contracting dim, hence the singleton row
@@ -120,19 +120,19 @@ def pallas_node_blocks(
     n_tiles = xi.shape[0] // T
     ncj = Y.shape[0]
     dt = xi.dtype
-    xi_soa = xi.T  # [3, n_tiles*T]
-    # index maps must return a homogeneous int tuple: a leading python-int
-    # constant next to a traced i32 program id lowers to an (i64, i32)
-    # func.return that Mosaic refuses to legalize
-    z = jnp.int32(0)
-    tile_i = lambda i, k: (z, i)
-    chunk_k = lambda i, k: (k, z, z, z)
-    out_ik = lambda i, k: (i, k, z, z, z)
+    # [n_tiles, 3, T]: index maps must return a homogeneous int tuple —
+    # python-int literals next to a traced program id lower as i64 next to
+    # i32, which Mosaic refuses to legalize ("failed to legalize func.return")
+    # — so derive every zero from a program id (0*i stays i32)
+    xi_tiles = xi.reshape(n_tiles, T, 3).transpose(0, 2, 1)
+    tile_i = lambda i, k: (i, 0 * i, 0 * i)
+    chunk_k = lambda i, k: (k, 0 * k, 0 * k, 0 * k)
+    out_ik = lambda i, k: (i, k, 0 * i, 0 * i, 0 * i)
     V, K = pl.pallas_call(
         partial(_node_kernel, CJ=CJ, nq=nq, vmax=vmax, T=T),
         grid=(n_tiles, ncj),
         in_specs=[
-            pl.BlockSpec((3, T), tile_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, T), tile_i, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vmax, 3, CJ * nq), chunk_k, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vmax, 3, CJ * nq), chunk_k, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vmax, CJ, nq), chunk_k, memory_space=pltpu.VMEM),
@@ -146,5 +146,5 @@ def pallas_node_blocks(
             jax.ShapeDtypeStruct((n_tiles, ncj, 9, CJ, T), dt),
         ],
         interpret=interpret,
-    )(xi_soa, Y, Nrm, W)
+    )(xi_tiles, Y, Nrm, W)
     return V, K

@@ -156,12 +156,49 @@ def slab_block_jacobi_apply(lu_slab, piv_slab, v_slab, mesh: Mesh):
     return _apply(lu_slab, piv_slab, v_slab)
 
 
+def slab_diagonal(A_slab, n_nodes, dim, mesh: Mesh):
+    """Each device's diagonal entries of its own rows (slab-ordered,
+    sharded P('rows')) — the distributed Jacobi preconditioner."""
+    n, d = n_nodes, dim
+    _, nloc = padded_rows(n, mesh)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows", None),),
+        out_specs=P("rows"),
+        check_vma=False,
+    )
+    def _diag(A_loc):  # [d*nloc, d*n]
+        r0 = jax.lax.axis_index("rows").astype(jnp.int32) * nloc
+        rows = jnp.arange(d * nloc, dtype=jnp.int32)
+        a, i = rows // nloc, rows % nloc
+        node = r0 + i
+        cols = a * n + node
+        dg = A_loc[rows, jnp.clip(cols, 0, d * n - 1)]
+        return jnp.where(node < n, dg, jnp.ones_like(dg))
+
+    return _diag(A_slab)
+
+
 def make_sharded_frame_step(problem, dmesh: Mesh):
     """Build the jitted distributed frame step for a StokesBEMProblem.
 
     Returns step(euler, sdot_flat) -> (rigid_velocities [R], euler_next,
     info) running: sharded assembly -> slab corrections -> implicit
-    monolithic GMRES with block-Jacobi-LU -> forward-Euler rigid update.
+    monolithic GMRES -> rigid update (translation + rotation of body nodes
+    about the force pole).
+
+    Config parity with the single-chip path:
+    - `solver.gmres_restart` / `solver.max_steps` bound the Arnoldi work
+      exactly like `StokesBEMProblem.solve_frame`;
+    - `solver.preconditioner_type == "Jacobi"` uses the distributed diagonal;
+      every other type (incl. "Direct") maps to block-Jacobi-LU — each
+      device's diagonal block is its local dense LU, the scalable slab
+      analog of the reference's rank-local direct preconditioner;
+    - `time_integration == "Heun"` is provided by `sharded_heun_step`
+      (predictor-corrector re-running this step at the midpoint geometry,
+      reference `source/bem_stokes.cc:5787-5835`).
     """
     cfg = problem.cfg
     tables = problem.tables
@@ -170,6 +207,15 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
     R = problem.num_rigid
     dt_num = tables.cfg.dtype
     scale = cfg.assemble_scaling
+    import numpy as _np
+
+    # body-node mask in MAP space (walls never move; reference rotates only
+    # body DoFs in compute_euler_vector, `source/bem_stokes.cc:2247-2440`)
+    map_sp = problem.map_space
+    map_body = _np.zeros(map_sp.n_nodes)
+    map_body[
+        _np.unique(map_sp.cells_nodes[problem.body_cell_mask > 0])
+    ] = 1.0
     from ..fem.geometry import support_points as support_points_fn
 
     def step(euler, sdot_flat):
@@ -252,37 +298,79 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
         else:
             rhs = jnp.concatenate([rhs_surface, rhs_tail])
 
-        # ---- block-Jacobi-LU preconditioned GMRES ----
-        lu_slab, piv_slab = slab_block_jacobi_lu(A_slab, None, n, d, R, dmesh)
+        # ---- preconditioned GMRES (preconditioner per config) ----
+        if cfg.solver.preconditioner_type == "Jacobi":
+            diag_slab = slab_diagonal(A_slab, n, d, dmesh)
 
-        def precond(x):
-            xs, u = x[: d * n], x[d * n :]
-            ys = slab_to_flat(
-                slab_block_jacobi_apply(
-                    lu_slab, piv_slab, flat_to_slab(xs, n, d, dmesh), dmesh
-                ),
-                n,
-                d,
-                dmesh,
-            )
-            return jnp.concatenate([ys, u])
+            def precond(x):
+                xs, u = x[: d * n], x[d * n :]
+                ys = slab_to_flat(
+                    flat_to_slab(xs, n, d, dmesh) / diag_slab, n, d, dmesh
+                )
+                return jnp.concatenate([ys, u])
 
+        else:
+            lu_slab, piv_slab = slab_block_jacobi_lu(A_slab, None, n, d, R, dmesh)
+
+            def precond(x):
+                xs, u = x[: d * n], x[d * n :]
+                ys = slab_to_flat(
+                    slab_block_jacobi_apply(
+                        lu_slab, piv_slab, flat_to_slab(xs, n, d, dmesh), dmesh
+                    ),
+                    n,
+                    d,
+                    dmesh,
+                )
+                return jnp.concatenate([ys, u])
+
+        restart = cfg.solver.gmres_restart
+        max_restarts = max(1, -(-cfg.solver.max_steps // max(restart, 1)))
         x, info = gmres(
             matvec,
             rhs,
             precond=precond,
-            restart=cfg.solver.gmres_restart,
+            restart=restart,
             tol=cfg.solver.tolerance,
-            max_restarts=4,
+            max_restarts=max_restarts,
         )
         rigid_vel = x[d * n :] * scale
 
-        # ---- forward-Euler rigid displacement update (tiny) ----
+        # ---- rigid update: translation + rotation of body nodes about the
+        # pole (forward-Euler axis-angle, reference `:4728-4846`) ----
         U = rigid_vel[:d]
-        euler_next = euler + cfg.time_step * U[None, :]
+        body = jnp.asarray(map_body, dt_num)[:, None]
+        euler_next = euler + cfg.time_step * U[None, :] * body
+        if d == 3 and cfg.consider_rigid_rotations:
+            from ..physics.kinematics import update_rotation_matrix
+
+            Rm = update_rotation_matrix(
+                jnp.eye(3, dtype=dt_num),
+                rigid_vel[d : 2 * d],
+                cfg.time_step,
+                forward_euler=True,
+            )
+            rotated = (euler_next - pole[None, :]) @ Rm.T + pole[None, :]
+            euler_next = jnp.where(body > 0, rotated, euler_next)
         return rigid_vel, euler_next, info
 
     return jax.jit(step)
+
+
+def sharded_heun_step(step, euler, sdot_flat, euler_pred=None, sdot_pred=None):
+    """Heun predictor-corrector around a jitted sharded frame step: solve at
+    `euler`, re-solve at the midpoint geometry, average the rigid velocities
+    (reference `source/bem_stokes.cc:5787-5835`).  Mirroring the single-chip
+    `SwimmerSimulation` Heun branch, the corrector runs at the NEXT frame's
+    gait shape `euler_pred` with the next frame's gait velocity `sdot_pred`
+    (both default to the predictor's outputs when the gait is frozen)."""
+    rigid_vel, euler_next, info = step(euler, sdot_flat)
+    if euler_pred is None:
+        euler_pred = euler_next
+    if sdot_pred is None:
+        sdot_pred = sdot_flat
+    rigid_vel2, _, info2 = step(euler_pred, sdot_pred)
+    return 0.5 * (rigid_vel + rigid_vel2), info, info2
 
 
 def _slab_mv(A_slab, x_flat, mesh):

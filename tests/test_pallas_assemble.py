@@ -26,3 +26,13 @@ def test_pallas_matches_jax(reference_grid_dir):
 
     assert np.allclose(np.asarray(V0), np.asarray(V1), atol=1e-13)
     assert np.allclose(np.asarray(K0), np.asarray(K1), atol=1e-13)
+
+    # node-mode Pallas backend (column-centric pairwise kernel + singular
+    # delta correction) against the same oracle
+    ncfg = dataclasses.replace(
+        cfg, backend="pallas_interpret", column_mode="node"
+    )
+    ntables = dataclasses.replace(tables, cfg=ncfg)
+    V2, K2 = assemble_V_K(euler, sp, ntables)
+    assert np.allclose(np.asarray(V0), np.asarray(V2), atol=1e-11)
+    assert np.allclose(np.asarray(K0), np.asarray(K2), atol=1e-11)

@@ -40,3 +40,72 @@ def test_sharded_frame_step_matches_single_chip(reference_grid_dir):
         np.asarray(euler0) + cfg.time_step * U[None, :3],
         atol=1e-12,
     )
+
+
+def test_slab_solid_angle_matches_single_chip(reference_grid_dir):
+    """The slab-layout K diagonal correction must agree entry-for-entry with
+    the single-chip ops.corrections.k_solid_angle_correction."""
+    import jax
+
+    from bemstokes_tpu.ops.corrections import k_solid_angle_correction
+    from bemstokes_tpu.parallel.sharded import flat_to_slab, padded_rows
+    from bemstokes_tpu.parallel.solve import slab_solid_angle_correction
+
+    rng = np.random.default_rng(7)
+    n, d = 37, 3  # deliberately not divisible by 8
+    K = jnp.asarray(rng.standard_normal((d * n, d * n)))
+    K_ref, _ = k_solid_angle_correction(K, n, d)
+
+    dmesh = row_mesh()
+    ndev = dmesh.devices.size
+    n_pad, nloc = padded_rows(n, dmesh)
+    # scatter K rows into slab layout [ndev*d*nloc, d*n]
+    K_slab = jnp.zeros((ndev * d * nloc, d * n))
+    for a in range(d):
+        for i in range(n):
+            dev, loc = i // nloc, i % nloc
+            K_slab = K_slab.at[dev * d * nloc + a * nloc + loc].set(K[a * n + i])
+    K_slab = jax.device_put(
+        K_slab,
+        jax.sharding.NamedSharding(dmesh, jax.sharding.PartitionSpec("rows", None)),
+    )
+    K_corr = np.asarray(slab_solid_angle_correction(K_slab, n, d, dmesh))
+    for a in range(d):
+        for i in range(n):
+            dev, loc = i // nloc, i % nloc
+            row = K_corr[dev * d * nloc + a * nloc + loc]
+            assert np.allclose(row, np.asarray(K_ref[a * n + i]), atol=1e-12)
+
+
+def test_sharded_jacobi_and_heun(reference_grid_dir):
+    """preconditioner_type='Jacobi' runs the distributed diagonal
+    preconditioner; sharded_heun_step averages the wrapping 2-frame stroke
+    to ~0 like the single-chip Heun test."""
+    from bemstokes_tpu.parallel.solve import sharded_heun_step
+
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    mesh1 = read_mesh(f"{reference_grid_dir}/sphere_translation_1.msh", dim=3)
+    cfg = ProblemConfig(
+        grid_type="Real",
+        force_pole="Origin",
+        solver=SolverConfig(preconditioner_type="Jacobi", max_steps=3000),
+    )
+    prob = StokesBEMProblem(mesh, cfg)
+    euler0 = prob.initial_euler()
+    euler1 = jnp.asarray(euler_from_mesh(mesh1.vertices, prob.map_space))
+    sdot = prob.shape_velocities_fd(euler0, euler1)
+
+    dmesh = row_mesh()
+    step = make_sharded_frame_step(prob, dmesh)
+    U, _, info = step(euler0, sdot)
+    exact = (1.0 / 120.0) / cfg.time_step
+    assert abs(float(U[0]) - exact) / exact < 2e-2
+
+    # Heun over the wrapping 2-frame stroke (corrector at the next frame's
+    # geometry with the reversed gait, exactly like the single-chip
+    # test_heun_integration): +U and -U average to ~0
+    sdot_back = prob.shape_velocities_fd(euler1, euler0)
+    U_heun, i1, i2 = sharded_heun_step(
+        step, euler0, sdot, euler_pred=euler1, sdot_pred=sdot_back
+    )
+    assert abs(float(U_heun[0])) < 2e-2 * exact
