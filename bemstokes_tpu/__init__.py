@@ -29,4 +29,16 @@ if _os.environ.get("BEMSTOKES_X64", "1") != "0":
 
     _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to ONE bf16 pass for f32 inputs, which costs ~3 digits
+# in the assembly contractions and the GMRES matvec (measured: raw-K error
+# 9.8e-2 vs f64 at DEFAULT, 1e-6 at "high"/3-pass bf16, which is f32-exact
+# for our magnitudes).  BEM conditioning can't absorb that; "high" costs
+# little because the assembly is VPU/HBM-bound, not MXU-bound.  Override
+# with BEMSTOKES_MATMUL_PRECISION=default|high|highest.
+_prec = _os.environ.get("BEMSTOKES_MATMUL_PRECISION", "high")
+if _prec != "default":
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 __version__ = "0.1.0"

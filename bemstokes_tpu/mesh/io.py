@@ -1,7 +1,7 @@
-"""Mesh file readers: gmsh (.msh v1/v2) and UCD (.inp), the formats used by
-the reference's `debug_grids/` and `tests/grid_test/` meshes (reference
-`read_input_mesh_file`, `source/bem_stokes.cc:497-523`, which defers to
-deal.II GridIn::read_msh / read_ucd).
+"""Mesh file readers: gmsh (.msh v1/v2), UCD (.inp), legacy VTK (.vtk) and
+Wavefront OBJ (.obj) — the formats the reference accepts in
+`read_input_mesh_file` (`source/bem_stokes.cc:497-523`, deferring to deal.II
+GridIn::read_msh / read_ucd / read_vtk / read_assimp).
 
 Quad connectivity in both formats is counterclockwise (v0, v1, v2, v3); we
 store lexicographic (v0, v1, v3, v2).  Physical/material tags map straight
@@ -148,6 +148,44 @@ def read_vtk(path: str, dim: int = 3) -> SurfaceMesh:
     )
 
 
+def read_obj(path: str, dim: int = 3) -> SurfaceMesh:
+    """Wavefront OBJ reader (quad faces; `f v`, `f v/vt`, `f v//vn` and
+    `f v/vt/vn` index styles; negative indices are relative).  The reference
+    reads .obj swimmer scans through assimp (`read_input_mesh_file`,
+    `source/bem_stokes.cc:497-523` with `GridIn::read_assimp`)."""
+    verts: list[list[float]] = []
+    cells: list[list[int]] = []
+    mats: list[int] = []
+    mat = 0
+    with open(path) as f:
+        for ln in f:
+            parts = ln.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] in ("usemtl", "g", "o"):
+                # material groups map onto material ids by order of appearance
+                if parts[0] == "usemtl":
+                    mat += 1
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                if len(idx) != 4:
+                    raise ValueError(
+                        f"{path}: only quad faces are supported (got a "
+                        f"{len(idx)}-gon; triangulated scans must be "
+                        "re-meshed to quads)"
+                    )
+                cells.append(_ccw_quad_to_lex(idx))
+                mats.append(max(mat - 1, 0))
+    return SurfaceMesh(
+        np.asarray(verts, dtype=np.float64)[:, :dim],
+        np.asarray(cells, dtype=np.int32),
+        np.asarray(mats, dtype=np.int32),
+    )
+
+
 def read_mesh(
     path: str, dim: int = 3, force_material: int | None = None
 ) -> SurfaceMesh:
@@ -171,6 +209,8 @@ def read_mesh(
             mesh = read_inp(path, dim)
     elif path.endswith(".vtk"):
         mesh = read_vtk(path, dim)
+    elif path.endswith(".obj"):
+        mesh = read_obj(path, dim)
     else:
         raise ValueError(f"unsupported mesh format: {path}")
     if force_material is not None:

@@ -95,11 +95,16 @@ class AssemblyConfig:
     #   for the fused Pallas backend, which keeps every intermediate in VMEM;
     # - "scatter": the naive scatter-add path (reference semantics oracle).
     column_mode: str = "gather"
-    # tile-body backend: "jax" (XLA-fused) or "pallas" (hand-fused kernel,
-    # ops.pallas_assemble; dim-3 free-space only, other configs fall back).
-    # "pallas_interpret" runs the Pallas kernel in interpreter mode (CPU
-    # testing of the exact kernel semantics).
-    backend: str = "jax"
+    # tile-body backend:
+    # - "auto" (default): the fused node-mode Pallas kernel when it applies
+    #   (TPU platform, dim 3, free-space kernel, f32) — measured ~8x the
+    #   XLA path on a v5e — and the XLA path otherwise;
+    # - "jax": the XLA-fused path with the configured column_mode;
+    # - "pallas": force the hand-fused Pallas kernel (ops.pallas_node for
+    #   column_mode="node", ops.pallas_assemble for "gather");
+    # - "pallas_interpret": the Pallas kernel in interpreter mode (CPU
+    #   testing of the exact kernel semantics).
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -325,6 +330,22 @@ def assemble_V_K(
     return assemble_rows(euler, support_pts, xi, node_ids, jnp.int32(r0), tables)
 
 
+def _resolve_backend(cfg: AssemblyConfig) -> AssemblyConfig:
+    """Resolve backend="auto": the fused node-mode Pallas kernel wherever it
+    applies (TPU, dim 3, free-space, f32), the XLA path otherwise."""
+    if cfg.backend != "auto":
+        return cfg
+    pallas_ok = (
+        cfg.dim == 3
+        and cfg.kernel == KERNEL_FREE_SPACE
+        and jnp.dtype(cfg.dtype) == jnp.float32
+        and jax.default_backend() != "cpu"
+    )
+    if pallas_ok:
+        return dataclasses.replace(cfg, backend="pallas", column_mode="node")
+    return dataclasses.replace(cfg, backend="jax")
+
+
 def assemble_rows(
     euler: jnp.ndarray,  # [n_map_nodes, d]
     support_pts: jnp.ndarray,  # [n, d] all FE node positions (columns)
@@ -338,7 +359,9 @@ def assemble_rows(
     the row-partitioned distributed assembly (the reference's
     `this_cpu_set.is_element(i)` masking, `source/bem_stokes.cc:2875-2877`,
     turned into an explicit row slab per device)."""
-    cfg = tables.cfg
+    cfg = _resolve_backend(tables.cfg)
+    if cfg is not tables.cfg:
+        tables = dataclasses.replace(tables, cfg=cfg)
     d = cfg.dim
     n = tables.n_nodes
     dt = cfg.dtype
@@ -567,8 +590,10 @@ def _assemble_rows_node(
     if use_pallas:
         from .pallas_node import pallas_node_blocks
 
+        # T x CJ program tile; CJ = 64 keeps the ~20 live [CJ*nq, T] working
+        # planes inside the 16 MB VMEM scoped-allocation budget
         T = 128
-        CJ = 128
+        CJ = 64
         xi_p = _pad_to_multiple(xi.astype(dt), T, 0, pad_value=1e8)
         n_tiles = xi_p.shape[0] // T
         Y4 = _pad_to_multiple(
@@ -587,7 +612,15 @@ def _assemble_rows_node(
             .transpose(0, 2, 4, 1, 3)
             .reshape(ncj, vmax, d, CJ * nq)
         )
-        W_b = W3.reshape(ncj, CJ, vmax, nq).transpose(0, 2, 1, 3)
+        W_b = W3.reshape(ncj, CJ, vmax, nq).transpose(0, 2, 1, 3).reshape(
+            ncj, vmax, 1, CJ * nq
+        )
+        import os as _os
+
+        transposed = (
+            _os.environ.get("BEMSTOKES_PALLAS_NODE_LAYOUT", "rows_lane")
+            != "rows_sublane"
+        )
         Vb, Kb = pallas_node_blocks(
             xi_p,
             Y_soa,
@@ -598,11 +631,16 @@ def _assemble_rows_node(
             vmax=vmax,
             T=T,
             interpret=(cfg.backend == "pallas_interpret"),
-        )  # [n_tiles, ncj, 9, CJ, T]
+            transposed=transposed,
+        )  # [n_tiles, ncj, 9, CJ, T] or (transposed) [n_tiles, ncj, 9, T, CJ]
 
         def blocks_to_dense(arr):
-            a = arr.reshape(n_tiles, ncj, 3, 3, CJ, T)
-            a = a.transpose(2, 0, 5, 3, 1, 4)  # [3, nt, T, 3, ncj, CJ]
+            if transposed:
+                a = arr.reshape(n_tiles, ncj, 3, 3, T, CJ)
+                a = a.transpose(2, 0, 4, 3, 1, 5)  # [3, nt, T, 3, ncj, CJ]
+            else:
+                a = arr.reshape(n_tiles, ncj, 3, 3, CJ, T)
+                a = a.transpose(2, 0, 5, 3, 1, 4)  # [3, nt, T, 3, ncj, CJ]
             a = a.reshape(3, n_tiles * T, 3, ncj * CJ)[:, :nr, :, :n]
             return a.reshape(d * nr, d * n)
 

@@ -62,6 +62,18 @@ def main():
     on_tpu = dev.platform != "cpu"
     print(f"benchmarking on {dev}", file=sys.stderr)
 
+    # claim the device + warm the compile relay with a trivial op so that
+    # environment overhead (TPU claim through the tunnel is minutes on this
+    # rig) is excluded from the per-kernel compile figures below
+    t0 = time.perf_counter()
+    np.asarray(
+        (jnp.zeros((8, 128), dtype=jnp.float32) @ jnp.zeros((128, 8), jnp.float32))[
+            0, 0
+        ]
+    )
+    t_claim = time.perf_counter() - t0
+    print(f"device claim + first trivial compile: {t_claim:.1f}s", file=sys.stderr)
+
     # ---- build a bench-scale sphere: refine the reference mesh ----
     refine_levels = int(os.environ.get("BENCH_REFINE", "2" if not on_tpu else "3"))
     mesh = read_mesh(
@@ -107,20 +119,22 @@ def main():
         np.asarray(leaf.ravel()[0])
         return time.perf_counter() - t0, out
 
-    adaptive = os.environ.get("BENCH_ADAPTIVE", "1") == "1"
+    # adaptive two-level quadrature is accuracy-pinned by
+    # tests/test_adaptive_quadrature but its gathered near-pair scatter costs
+    # ~400 ms at this shape on the relay — slower than just running the dense
+    # pass at full order, so it is opt-in here
+    adaptive = os.environ.get("BENCH_ADAPTIVE", "0") == "1"
 
-    def measure_backend(backend):
+    def measure_backend(backend, column_mode="gather"):
         acfg = AssemblyConfig(
             quad_order=4,
-            # perf path: adaptive two-level quadrature (dense far pass at
-            # order 2, 64 nearest panels upgraded to order 4 by the gathered
-            # correction; accuracy pinned by tests/test_adaptive_quadrature)
             quad_order_far=2 if adaptive else None,
             near_panels=64,
             row_tile=min(256, n),
             cell_chunk=min(512 if backend == "jax" else 64, Nc),
             dtype=dtype,
             backend=backend,
+            column_mode=column_mode,
         )
         tables = build_assembly_tables(space, space, acfg)
         sp = support_points(euler, space, space)
@@ -146,6 +160,8 @@ def main():
         assembly_s=t_asm,
         panel_pairs_per_s=pairs_per_s,
         compile_and_first_s=compile_and_first,
+        device_claim_s=t_claim,
+        adaptive_quadrature=adaptive,
         dtype=str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         device=str(dev),
         refine_levels=refine_levels,
@@ -153,10 +169,13 @@ def main():
 
     if on_tpu and os.environ.get("BENCH_PALLAS", "1") == "1":
         try:
-            t_p, c_p, _ = measure_backend("pallas")
+            # node-mode fused Pallas kernel: the column-centric pairwise
+            # sweep that keeps every intermediate in VMEM (ops/pallas_node.py)
+            t_p, c_p, _ = measure_backend("pallas", column_mode="node")
             details["panel_pairs_per_s_pallas"] = pairs / t_p
+            details["pallas_compile_and_first_s"] = c_p
             print(
-                f"assembly[pallas]: {t_p*1e3:.1f} ms (first+compile "
+                f"assembly[pallas-node]: {t_p*1e3:.1f} ms (first+compile "
                 f"{c_p:.1f}s), {pairs/t_p:.3e} panel-pairs/s",
                 file=sys.stderr,
             )

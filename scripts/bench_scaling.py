@@ -1,19 +1,24 @@
 """Scaling benchmark over a 1/2/4/8-device row mesh.
 
-Weak scaling for a dense N^2 BEM operator means constant PAIRS PER DEVICE:
-the mesh for ndev devices is refined so n(ndev) ~ n(1) * sqrt(ndev).  Strong
-scaling (fixed N) is also reported.  Efficiency = throughput / (ndev *
-throughput at 1 device).
+TWO regimes, reported separately:
 
-Run on the virtual CPU mesh (numbers validate the SCALING, not per-chip
-speed-of-light — that is bench.py's job on the real chip):
+- On REAL chips (`--tpu`, multi-chip slice under
+  `bemstokes_tpu.parallel.initialize_multihost()`): classic weak/strong
+  scaling.  Weak scaling for a dense N^2 BEM operator means constant PAIRS
+  PER DEVICE (mesh refined so n ~ n0 * sqrt(ndev)); efficiency =
+  throughput / (ndev * throughput at 1 device), BASELINE target >= 80%.
+
+- On the VIRTUAL CPU mesh (default; 8 devices forced onto the host's
+  cores): the devices SHARE the same silicon, so per-device throughput
+  cannot scale and classic efficiency is meaningless.  What the virtual
+  mesh CAN validate is the cost of the distribution machinery itself:
+  `overhead_efficiency` = t(1 device, whole problem) / t(ndev devices,
+  same problem).  1.0 means sharding + collectives add zero overhead over
+  the single-device run — the upper bound on what real hardware would see
+  added on top of ideal compute scaling.
 
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python scripts/bench_scaling.py
-
-On a real multi-chip/multi-host slice, run the same script under
-`bemstokes_tpu.parallel.initialize_multihost()` (JAX_* env vars set by the
-launcher) and the row mesh spans every chip.
 """
 
 import json
@@ -104,44 +109,49 @@ def measure(ndev, refine, dtype):
 def main():
     initialize_multihost()
     dtype = jnp.float32
+    on_tpu = jax.devices()[0].platform != "cpu"
     ndevs = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
     print(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}")
 
-    # weak scaling: pairs/device constant -> refine so n ~ n0 * sqrt(ndev);
-    # quad refinement quadruples panels, so bump refine every 4x devices
-    base_refine = int(os.environ.get("SCALING_REFINE", "1"))
+    base_refine = int(os.environ.get("SCALING_REFINE", "2"))
     rows = []
-    for ndev in ndevs:
-        refine = base_refine + (1 if ndev >= 4 else 0)
-        r = measure(ndev, refine, dtype)
-        r["mode"] = "weak"
-        rows.append(r)
-        print(
-            f"weak  ndev={ndev}: n={r['nodes']} {r['pairs_per_s']:.3e} pairs/s "
-            f"{r['matvec_gflops']:.1f} GF/s"
-        )
-    base = rows[0]
-    for r in rows:
-        # weak efficiency: pairs/s per device, normalized by the 1-device run
-        r["efficiency"] = (r["pairs_per_s"] / r["ndev"]) / base["pairs_per_s"]
-        print(f"weak  ndev={r['ndev']}: efficiency {r['efficiency']:.2f}")
 
-    strong = []
+    if on_tpu:
+        # real chips: classic weak scaling, constant pairs/device (quad
+        # refinement x16s the pairs, so bump refine every 4x devices)
+        for ndev in ndevs:
+            refine = base_refine + (1 if ndev >= 4 else 0)
+            r = measure(ndev, refine, dtype)
+            r["mode"] = "weak"
+            rows.append(r)
+        base = rows[0]
+        for r in rows:
+            r["efficiency"] = (r["pairs_per_s"] / r["ndev"]) / base["pairs_per_s"]
+            print(
+                f"weak  ndev={r['ndev']}: n={r['nodes']} "
+                f"{r['pairs_per_s']:.3e} pairs/s  eff {r['efficiency']:.2f}"
+            )
+
+    # sharding-overhead sweep (the meaningful metric on the virtual mesh,
+    # also a useful diagnostic on real chips): SAME problem on 1..8 devices
+    overhead = []
     for ndev in ndevs:
-        r = measure(ndev, base_refine + 1, dtype)
-        r["mode"] = "strong"
-        strong.append(r)
+        r = measure(ndev, base_refine, dtype)
+        r["mode"] = "overhead"
+        overhead.append(r)
+    obase = overhead[0]
+    for r in overhead:
+        # t(1)/t(n) on identical total work and identical silicon; 1.0 =
+        # the distribution machinery (slab layout, all-gathers) is free
+        r["overhead_efficiency"] = r["pairs_per_s"] / obase["pairs_per_s"]
         print(
-            f"strong ndev={ndev}: {r['pairs_per_s']:.3e} pairs/s "
-            f"{r['matvec_gflops']:.1f} GF/s"
+            f"overhead ndev={r['ndev']}: n={r['nodes']} "
+            f"{r['pairs_per_s']:.3e} pairs/s  t1/tn {r['overhead_efficiency']:.2f} "
+            f"matvec {r['matvec_gflops']:.1f} GF/s"
         )
-    sbase = strong[0]
-    for r in strong:
-        r["efficiency"] = r["pairs_per_s"] / (r["ndev"] * sbase["pairs_per_s"])
-        print(f"strong ndev={r['ndev']}: efficiency {r['efficiency']:.2f}")
 
     with open("BENCH_SCALING.json", "w") as f:
-        json.dump(rows + strong, f, indent=2)
+        json.dump(rows + overhead, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -118,3 +118,41 @@ def test_manifold_snap_scoped_to_body(reference_grid_dir):
     assert np.allclose(r[body], 1.0, atol=1e-12)
     wall = ~body
     assert np.allclose(euler[wall][:, 1], 2.0, atol=1e-12)
+
+
+def test_obj_reader_round_trip(tmp_path):
+    """Wavefront OBJ quads (incl. v/vt/vn face styles and usemtl groups)
+    parse into the same cube as the UCD reader's lexicographic layout."""
+    obj = tmp_path / "cube.obj"
+    obj.write_text(
+        "# unit cube, 6 quad faces\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "v 0 0 1\nv 1 0 1\nv 1 1 1\nv 0 1 1\n"
+        "usemtl bottom\n"
+        "f 1/1/1 4/2/1 3/3/1 2/4/1\n"
+        "usemtl sides\n"
+        "f 1//2 2//2 6//2 5//2\n"
+        "f 2 3 7 6\n"
+        "f 3 4 8 7\n"
+        "f -5 -8 -4 -1\n"
+        "usemtl top\n"
+        "f 5 6 7 8\n"
+    )
+    mesh = read_mesh(str(obj), dim=3)
+    assert mesh.n_cells == 6
+    assert mesh.vertices.shape == (8, 3)
+    assert set(mesh.material_id.tolist()) == {0, 1, 2}
+    space = build_scalar_space(mesh, 1)
+    pts, wts = gauss_quad(3)
+    from bemstokes_tpu.fem.reference_element import reference_element
+
+    me = reference_element(2, 1)
+    _, _, jxw = panel_geometry(
+        jnp.asarray(mesh.vertices)[jnp.asarray(space.cells_nodes)],
+        jnp.asarray(me.shape_values(pts)),
+        jnp.asarray(me.shape_grads(pts)),
+        jnp.asarray(wts),
+        jnp.ones(mesh.n_cells),
+        ambient_dim=3,
+    )
+    assert abs(float(jxw.sum()) - 6.0) < 1e-12
