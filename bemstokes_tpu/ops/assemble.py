@@ -590,10 +590,13 @@ def _assemble_rows_node(
     if use_pallas:
         from .pallas_node import pallas_node_blocks
 
-        # T x CJ program tile; CJ = 64 keeps the ~20 live [CJ*nq, T] working
-        # planes inside the 16 MB VMEM scoped-allocation budget
+        # T x CJ program tile; the ~20 live [CJ*nq, T] working planes at
+        # CJ = 128 need ~24 MB of VMEM, covered by the 100 MB
+        # vmem_limit_bytes in the kernel's compiler params.  CJ must be a
+        # multiple of 128: it is the LAST out-block dim of the direct
+        # [9, rows, cols] output layout (Mosaic tiling constraint).
         T = 128
-        CJ = 64
+        CJ = 128
         xi_p = _pad_to_multiple(xi.astype(dt), T, 0, pad_value=1e8)
         n_tiles = xi_p.shape[0] // T
         Y4 = _pad_to_multiple(
@@ -632,17 +635,13 @@ def _assemble_rows_node(
             T=T,
             interpret=(cfg.backend == "pallas_interpret"),
             transposed=transposed,
-        )  # [n_tiles, ncj, 9, CJ, T] or (transposed) [n_tiles, ncj, 9, T, CJ]
+        )  # [9, R, C] (transposed) or [9, C, R]; R/C = padded rows/cols
 
         def blocks_to_dense(arr):
-            if transposed:
-                a = arr.reshape(n_tiles, ncj, 3, 3, T, CJ)
-                a = a.transpose(2, 0, 4, 3, 1, 5)  # [3, nt, T, 3, ncj, CJ]
-            else:
-                a = arr.reshape(n_tiles, ncj, 3, 3, CJ, T)
-                a = a.transpose(2, 0, 5, 3, 1, 4)  # [3, nt, T, 3, ncj, CJ]
-            a = a.reshape(3, n_tiles * T, 3, ncj * CJ)[:, :nr, :, :n]
-            return a.reshape(d * nr, d * n)
+            if not transposed:
+                arr = arr.transpose(0, 2, 1)  # -> [9, R, C]
+            a = arr.reshape(3, 3, n_tiles * T, ncj * CJ)[:, :, :nr, :n]
+            return a.transpose(0, 2, 1, 3).reshape(d * nr, d * n)
 
         V = blocks_to_dense(Vb)
         K = blocks_to_dense(Kb)

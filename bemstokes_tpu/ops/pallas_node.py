@@ -118,8 +118,8 @@ def _node_kernel(xi_ref, y_ref, n_ref, w_ref, v_ref, k_ref, *, CJ, nq, vmax, T):
         kab = -qsum(pk[i])
         acc_v[3 * a + b] = acc_v[3 * b + a] = vab
         acc_k[3 * a + b] = acc_k[3 * b + a] = kab
-    v_ref[0, 0] = jnp.stack(acc_v, axis=0)  # [9, CJ, T]
-    k_ref[0, 0] = jnp.stack(acc_k, axis=0)
+    v_ref[...] = jnp.stack(acc_v, axis=0)  # [9, CJ, T]
+    k_ref[...] = jnp.stack(acc_k, axis=0)
 
 
 def _node_kernel_t(
@@ -198,8 +198,8 @@ def _node_kernel_t(
         kab = -qsum(pk[i])
         acc_v[3 * a + b] = acc_v[3 * b + a] = vab
         acc_k[3 * a + b] = acc_k[3 * b + a] = kab
-    v_ref[0, 0] = jnp.stack(acc_v, axis=0)  # [9, T, CJ]
-    k_ref[0, 0] = jnp.stack(acc_k, axis=0)
+    v_ref[...] = jnp.stack(acc_v, axis=0)  # [9, T, CJ]
+    k_ref[...] = jnp.stack(acc_k, axis=0)
 
 
 @partial(
@@ -219,9 +219,14 @@ def pallas_node_blocks(
     transposed: bool = False,
 ):
     """Run the pairwise sweep over all (row tile, column chunk) programs.
-    Returns (V, K) of shape [n_tiles, ncj, 9, CJ, T] (default layout) or
-    [n_tiles, ncj, 9, T, CJ] (`transposed=True`, the rows-in-sublanes
-    kernel variant `_node_kernel_t`)."""
+
+    Each program writes its 9 dim-pair planes straight into the final
+    component-major array — no [n_tiles, ncj, ...] block tensor to
+    re-transpose through HBM afterwards (that intermediate doubled peak
+    memory and OOM'd the 6k-node bench shape).  Returns (V, K) of shape
+    [9, n_tiles*T, ncj*CJ] (`transposed=True`, rows in sublanes — the
+    default layout used by `_assemble_rows_node`) or [9, ncj*CJ, n_tiles*T]
+    (rows in lanes, `_node_kernel`)."""
     n_tiles = xi.shape[0] // T
     ncj = Y.shape[0]
     dt = xi.dtype
@@ -232,9 +237,15 @@ def pallas_node_blocks(
     xi_tiles = xi.reshape(n_tiles, T, 3).transpose(0, 2, 1)
     tile_i = lambda i, k: (i, 0 * i, 0 * i)
     chunk_k = lambda i, k: (k, 0 * k, 0 * k, 0 * k)
-    out_ik = lambda i, k: (i, k, 0 * i, 0 * i, 0 * i)
     kern = _node_kernel_t if transposed else _node_kernel
-    out_block = (1, 1, 9, T, CJ) if transposed else (1, 1, 9, CJ, T)
+    if transposed:
+        out_ik = lambda i, k: (0 * i, i, k)
+        out_block = (9, T, CJ)
+        out_shape = (9, n_tiles * T, ncj * CJ)
+    else:
+        out_ik = lambda i, k: (0 * i, k, i)
+        out_block = (9, CJ, T)
+        out_shape = (9, ncj * CJ, n_tiles * T)
     in_specs = [
         pl.BlockSpec((1, 3, T), tile_i, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, vmax, 3, CJ * nq), chunk_k, memory_space=pltpu.VMEM),
@@ -264,8 +275,8 @@ def pallas_node_blocks(
             pl.BlockSpec(out_block, out_ik, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, ncj) + out_block[2:], dt),
-            jax.ShapeDtypeStruct((n_tiles, ncj) + out_block[2:], dt),
+            jax.ShapeDtypeStruct(out_shape, dt),
+            jax.ShapeDtypeStruct(out_shape, dt),
         ],
         # 13 deferred accumulator planes + temporaries overflow the default
         # 16 MB scoped-vmem budget; the chip has 128 MB

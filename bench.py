@@ -167,6 +167,28 @@ def main():
         refine_levels=refine_levels,
     )
 
+    # ---- matvec GFLOP/s (same in-dispatch loop technique) ----
+    # measured BEFORE the Pallas assembly sweep so the dense V/K pair from
+    # the XLA path can be freed first: two live [3n, 3n] f32 pairs at the 6k
+    # bench shape (2 x 2.7 GB) plus the Pallas outputs exhaust the 16 GB HBM
+    x = jnp.ones((3 * n,), dtype)
+
+    @jax.jit
+    def mv_loop(M, v, k):
+        def body(i, v):
+            return M @ (v / jnp.linalg.norm(v))
+
+        return jax.lax.fori_loop(0, k, body, v)
+
+    t_lo, _ = timed(mv_loop, V, x, 5)
+    t_hi, _ = timed(mv_loop, V, x, 55)
+    t_mv = max((t_hi - t_lo) / 50, 1e-9)
+    gflops = 2.0 * (3.0 * n) ** 2 / t_mv / 1e9
+    print(f"matvec: {t_mv*1e3:.2f} ms -> {gflops:.1f} GFLOP/s", file=sys.stderr)
+    details["matvec_s"] = t_mv
+    details["matvec_gflops"] = gflops
+    del V, K, x
+
     if on_tpu and os.environ.get("BENCH_PALLAS", "1") == "1":
         try:
             # node-mode fused Pallas kernel: the column-centric pairwise
@@ -184,24 +206,6 @@ def main():
             print(f"pallas backend failed: {e}", file=sys.stderr)
 
     best = max(pairs_per_s, details.get("panel_pairs_per_s_pallas") or 0.0)
-
-    # ---- matvec GFLOP/s (same in-dispatch loop technique) ----
-    x = jnp.ones((3 * n,), dtype)
-
-    @jax.jit
-    def mv_loop(M, v, k):
-        def body(i, v):
-            return M @ (v / jnp.linalg.norm(v))
-
-        return jax.lax.fori_loop(0, k, body, v)
-
-    t_lo, _ = timed(mv_loop, V, x, 5)
-    t_hi, _ = timed(mv_loop, V, x, 55)
-    t_mv = max((t_hi - t_lo) / 50, 1e-9)
-    gflops = 2.0 * (3.0 * n) ** 2 / t_mv / 1e9
-    print(f"matvec: {t_mv*1e3:.2f} ms -> {gflops:.1f} GFLOP/s", file=sys.stderr)
-    details["matvec_s"] = t_mv
-    details["matvec_gflops"] = gflops
 
     # ---- accuracy gate ON THE TPU: sphere drag vs Stokes law ----
     # f64 assembly (XLA emulates f64 on TPU — slow but bit-accurate) and f64
