@@ -79,6 +79,22 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    # multi-host: engage jax.distributed when launched under a multi-process
+    # runner (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    # env vars or TPU-pod auto-detection); single-process no-op otherwise
+    # (reference: every rank enters main() identically, `source/main.cc:22`)
+    from .parallel.multihost import initialize_multihost
+
+    multihost = initialize_multihost()
+    if multihost:
+        import jax
+
+        print(
+            f"multi-host: process {jax.process_index()}/{jax.process_count()}"
+            f", {len(jax.devices())} global devices",
+            file=sys.stderr,
+        )
+
     from .config import ProblemConfig
     from .config_io import load_config, save_config
 

@@ -66,8 +66,13 @@ class CylinderConfig:
 @dataclasses.dataclass
 class WallRefinementConfig:
     """Local wall refinement (reference `refine_walls`,
-    `source/bem_stokes.cc:1478-1519`)."""
+    `source/bem_stokes.cc:1478-1519`, applied in `read_domain` `:808`).
 
+    The reference applies it unconditionally (the threshold test makes it a
+    no-op on fine walls); here `enabled` gates the pass explicitly so coarse
+    wall factories keep their configured resolution unless asked."""
+
+    enabled: bool = False
     gradual: bool = False
     threshold: float = 1.0
     distance_from_center: float = 2.0
@@ -90,6 +95,12 @@ class ProblemConfig:
     assemble_scaling: float = 1.0
     monolithic: bool = True
     use_internal_alpha: bool = False
+    # K solid-angle diagonal replacement (reference `:3044-3098`): "full"
+    # forces full-row versor sums to identity like the reference — exact
+    # only when the total boundary is closed; "component" restricts the row
+    # sum to each node's own connected component (alpha = 1 closed, 1/2 open
+    # flat walls), which stays exact with open resolved walls in the mesh
+    alpha_row_sum: str = "full"  # full|component
     consider_rigid_rotations: bool = True
     consider_rigid_displacements: bool = False
     rigid_displacement_axes: tuple = (False, False, False)

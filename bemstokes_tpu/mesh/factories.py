@@ -183,6 +183,18 @@ def add_walls_to_mesh(mesh: SurfaceMesh, cfg) -> SurfaceMesh:
                 cyl.flip_normal,
             )
         mesh = mesh.merged_with(cw)
+    wr = getattr(cfg, "wall_refinement", None)
+    if wr is not None and wr.enabled:
+        # local wall refinement near the body (reference `read_domain`
+        # applies it right after the wall factories, `:808`); the hanging
+        # nodes it creates are constrained in the solve
+        mesh = refine_walls(
+            mesh,
+            max_distance=wr.distance_from_center,
+            threshold=wr.threshold,
+            center=wr.center[: mesh.dim],
+            gradual=wr.gradual,
+        )
     return mesh
 
 

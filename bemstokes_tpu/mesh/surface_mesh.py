@@ -100,3 +100,80 @@ class SurfaceMesh:
             recs.append(rank[inverse[other.edge_midpoints + self.n_vertices]])
         em = np.concatenate(recs).astype(np.int32) if recs else None
         return SurfaceMesh(new_verts, new_cells, mat, flip, em)
+
+
+def cell_components_and_closedness(mesh: SurfaceMesh):
+    """Connected components of the cell graph (cells sharing any vertex) and
+    per-component closedness.
+
+    Returns (cell_labels [Nc] int, closed [n_components] bool).  A component
+    is CLOSED when every facet (quad edge in 3D, segment endpoint in 2D)
+    appears in exactly two of its cells.  Used by the per-component
+    solid-angle correction (`ops.corrections.k_solid_angle_correction` with
+    component labels): the constant-field row-sum identity behind the
+    reference's K diagonal replacement (`source/bem_stokes.cc:3044-3098`)
+    only holds on closed boundaries, so bodies/boxes get the exterior
+    alpha = 1 and open walls the flat-screen alpha = 1/2."""
+    cells = mesh.cells
+    nv = mesh.n_vertices
+    parent = np.arange(nv)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for cell in cells:
+        r0 = find(cell[0])
+        for v in cell[1:]:
+            r = find(v)
+            if r != r0:
+                parent[r] = r0
+    vlabel = np.array([find(v) for v in range(nv)])
+    _, vlabel = np.unique(vlabel, return_inverse=True)
+    cell_labels = vlabel[cells[:, 0]]
+
+    n_comp = int(cell_labels.max()) + 1 if len(cells) else 0
+    closed = np.ones(n_comp, dtype=bool)
+    if cells.shape[1] == 2:  # 2D: facets are the segment endpoints
+        facets = [cells[:, [0]], cells[:, [1]]]
+    else:  # 3D quads (lexicographic order): the four edges
+        facets = [
+            cells[:, [0, 1]],
+            cells[:, [1, 3]],
+            cells[:, [3, 2]],
+            cells[:, [2, 0]],
+        ]
+    all_facets = np.sort(np.concatenate(facets, axis=0), axis=1)
+    fl = np.tile(cell_labels, len(facets))
+    if cells.shape[1] != 2 and mesh.edge_midpoints is not None:
+        # hanging-node meshes: a coarse edge faces the two fine halves of
+        # its neighbor; split every facet with a recorded midpoint so the
+        # two sides count against each other (records from refine_uniform)
+        mid_of = {
+            (min(a, b), max(a, b)): m
+            for m, a, b in np.asarray(mesh.edge_midpoints)
+        }
+        out_f, out_l = [], []
+        stack = list(zip(map(tuple, all_facets), fl))
+        while stack:
+            (a, b), lab = stack.pop()
+            m = mid_of.get((min(a, b), max(a, b)))
+            if m is None:
+                out_f.append((min(a, b), max(a, b)))
+                out_l.append(lab)
+            else:
+                stack.append(((a, m), lab))
+                stack.append(((m, b), lab))
+        all_facets = np.asarray(out_f, dtype=np.int64)
+        fl = np.asarray(out_l)
+    # count occurrences of each (component, facet) pair
+    key = np.concatenate([fl[:, None], all_facets], axis=1)
+    _, inv, counts = np.unique(
+        key, axis=0, return_inverse=True, return_counts=True
+    )
+    bad = counts[inv] != 2
+    for lab in np.unique(fl[bad]):
+        closed[lab] = False
+    return cell_labels, closed

@@ -592,9 +592,11 @@ def _assemble_rows_node(
 
         # T x CJ program tile; the ~20 live [CJ*nq, T] working planes at
         # CJ = 128 need ~24 MB of VMEM, covered by the 100 MB
-        # vmem_limit_bytes in the kernel's compiler params.  CJ must be a
-        # multiple of 128: it is the LAST out-block dim of the direct
-        # [9, rows, cols] output layout (Mosaic tiling constraint).
+        # vmem_limit_bytes in the kernel's compiler params.  The LAST
+        # out-block dim must be a multiple of 128 (Mosaic lane tiling):
+        # that is CJ in the default rows_lane [9, rows, cols] layout and T
+        # in the rows_sublane [9, cols, rows] layout — keep BOTH at
+        # multiples of 128 when retuning tile sizes.
         T = 128
         CJ = 128
         xi_p = _pad_to_multiple(xi.astype(dt), T, 0, pad_value=1e8)

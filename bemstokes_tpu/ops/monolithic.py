@@ -58,6 +58,39 @@ def operator_column_mask(
     return sel_V
 
 
+def imposed_tail_vector(
+    num_rigid: int,
+    dim: int,
+    imposed_component: int,
+    angle: float = 0.0,
+    rotate: bool = False,
+    dtype=jnp.float64,
+) -> jnp.ndarray:
+    """Rhs tail [R] for ImposedForce / ImposedVelocity / Convergence runs: a
+    unit vector at `imposed_component`, optionally rotated about the x-axis
+    by `angle_for_imposed_stuff` and placed in the translation block (when
+    imposed_component < dim) or the rotation block (reference
+    `source/bem_stokes.cc:3277-3311`, Rodrigues rotation `:846-875`).
+
+    NOTE (parity quirk): the reference applies the rotation only when
+    `dim == 3 && extra_debug_info == true` (`:3286-3293`); callers pass that
+    gate as `rotate`."""
+    import numpy as np
+
+    e = np.zeros(dim)
+    e[imposed_component % dim] = 1.0
+    if rotate and dim == 3 and angle != 0.0:
+        c, s = np.cos(angle), np.sin(angle)
+        Rx = np.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+        e = Rx @ e
+    tail = np.zeros(num_rigid)
+    if imposed_component < dim:
+        tail[:dim] = e
+    else:
+        tail[dim:num_rigid] = e[: num_rigid - dim]
+    return jnp.asarray(tail, dtype)
+
+
 def build_monolithic_system(
     V: jnp.ndarray,  # [d*n, d*n]
     K: jnp.ndarray,  # [d*n, d*n]
@@ -71,6 +104,7 @@ def build_monolithic_system(
     tmp_torque: jnp.ndarray | None = None,  # [d*n] P_t K P_t N_flag_torque
     torque_dual: jnp.ndarray | None = None,  # [d*n] M N_flagellum_torque
     imposed_motor_torque: float = -2.0,
+    imposed_tail: jnp.ndarray | None = None,  # [R] rhs tail override
 ):
     """Materialize A [d*n+R(+1), d*n+R(+1)] and rhs (for the LU/direct path
     and as the preconditioner matrix).
@@ -102,7 +136,10 @@ def build_monolithic_system(
     rhs_tail = jnp.zeros((R,), dt)
     if grid_type != GRID_REAL:
         rhs_head = jnp.zeros((dn,), dt)
-        rhs_tail = rhs_tail.at[imposed_component].set(1.0)
+        if imposed_tail is not None:
+            rhs_tail = imposed_tail.astype(dt)
+        else:
+            rhs_tail = rhs_tail.at[imposed_component].set(1.0)
     else:
         rhs_head = rhs_surface
 

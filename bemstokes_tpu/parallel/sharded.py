@@ -128,3 +128,44 @@ def sharded_matvec_gathered(A_slab: jnp.ndarray, x: jnp.ndarray, mesh: Mesh):
         return jax.lax.all_gather(y_loc, "rows", tiled=True)
 
     return _mv(A_slab, x)
+
+
+def sharded_matvec_ring(A2_slab: jnp.ndarray, x_slab: jnp.ndarray, mesh: Mesh):
+    """y_slab = A2 @ x with BOTH operands slab-ordered (columns reordered by
+    `lu.slab_reorder_columns`) and x row-sharded: an ndev-step ppermute ring.
+    Each step multiplies the local [m, m] column block against the currently
+    held x block while the next block rotates in over the ring — the
+    explicit comm/compute-overlap formulation of the BASELINE north star
+    (vs `sharded_matvec`, which gathers the replicated x up front and leaves
+    overlap to XLA's scheduler)."""
+    ndev = mesh.devices.size
+    Np = A2_slab.shape[1]
+    m = Np // ndev
+    perm = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows", None), P("rows")),
+        out_specs=P("rows"),
+        check_vma=False,
+    )
+    def _mv(A_loc, x_loc):  # [m, Np], [m]
+        ax = jax.lax.axis_index("rows").astype(jnp.int32)
+
+        def body(s, carry):
+            y, xcur = carry  # xcur holds block (ax + s) % ndev
+            j = (ax + s.astype(jnp.int32)) % ndev
+            blk = jax.lax.dynamic_slice(
+                A_loc, (jnp.int32(0), j * m), (m, m)
+            )
+            y = y + blk @ xcur
+            xcur = jax.lax.ppermute(xcur, "rows", perm)
+            return y, xcur
+
+        y, _ = jax.lax.fori_loop(
+            0, ndev, body, (jnp.zeros_like(x_loc), x_loc)
+        )
+        return y
+
+    return _mv(A2_slab, x_slab)

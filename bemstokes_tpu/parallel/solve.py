@@ -52,12 +52,25 @@ def slab_rank1_update(A_slab, u_slab, v_rep, mesh: Mesh):
     return _upd(A_slab, u_slab, v_rep)
 
 
-def slab_solid_angle_correction(K_slab, n_nodes, dim, mesh: Mesh, use_internal_alpha=False):
+def slab_solid_angle_correction(
+    K_slab,
+    n_nodes,
+    dim,
+    mesh: Mesh,
+    use_internal_alpha=False,
+    component_labels=None,
+    component_alpha=None,
+):
     """Distributed version of ops.corrections.k_solid_angle_correction: each
-    device corrects the diagonal blocks of its own rows."""
+    device corrects the diagonal blocks of its own rows.  With
+    `component_labels`/`component_alpha` the row sums are restricted to each
+    node's own connected component (see the single-chip docstring: the
+    constant-field identity only holds on closed boundaries)."""
     n = n_nodes
     d = dim
     _, nloc = padded_rows(n, mesh)
+    lab = None if component_labels is None else jnp.asarray(component_labels)
+    alp = None if component_alpha is None else jnp.asarray(component_alpha)
 
     @partial(
         shard_map,
@@ -68,13 +81,28 @@ def slab_solid_angle_correction(K_slab, n_nodes, dim, mesh: Mesh, use_internal_a
     )
     def _corr(K_loc):  # [d*nloc, d*n]
         r0 = jax.lax.axis_index("rows").astype(jnp.int32) * nloc
-        C = jnp.stack(
-            [K_loc[:, b * n : (b + 1) * n].sum(axis=1) for b in range(d)],
-            axis=-1,
-        )  # [d*nloc, d]
         i = jnp.arange(nloc, dtype=jnp.int32)
         node = r0 + i  # global node ids of this slab
         valid = node < n
+        if lab is None:
+            C = jnp.stack(
+                [K_loc[:, b * n : (b + 1) * n].sum(axis=1) for b in range(d)],
+                axis=-1,
+            )  # [d*nloc, d]
+            alpha = 1.0
+        else:
+            row_lab = lab[jnp.clip(node, 0, n - 1)]  # [nloc]
+            same = (
+                jnp.tile(row_lab, d)[:, None] == lab[None, :]
+            )  # [d*nloc, n]
+            C = jnp.stack(
+                [
+                    (K_loc[:, b * n : (b + 1) * n] * same).sum(axis=1)
+                    for b in range(d)
+                ],
+                axis=-1,
+            )
+            alpha = alp[jnp.clip(node, 0, n - 1)]  # [nloc]
         rows = (
             jnp.arange(d, dtype=jnp.int32)[:, None, None] * nloc + i[None, None, :]
         )  # [d,1,nloc]
@@ -89,7 +117,11 @@ def slab_solid_angle_correction(K_slab, n_nodes, dim, mesh: Mesh, use_internal_a
         Cab = C.reshape(d, nloc, d)  # [a, i, b]
         vals = -Cab.transpose(0, 2, 1) + jnp.eye(d, dtype=K_loc.dtype)[
             :, :, None
-        ] * (0.0 if use_internal_alpha else 1.0)
+        ] * (
+            (alpha - 1.0 if use_internal_alpha else alpha)
+            if lab is not None
+            else (0.0 if use_internal_alpha else 1.0)
+        )
         return K_loc.at[rows_b.ravel(), cols_b.ravel()].add(
             vals.ravel(), mode="drop"
         )
@@ -182,7 +214,7 @@ def slab_diagonal(A_slab, n_nodes, dim, mesh: Mesh):
 
 
 def make_sharded_frame_step(problem, dmesh: Mesh):
-    """Build the jitted distributed frame step for a StokesBEMProblem.
+    """Build the distributed frame step for a StokesBEMProblem.
 
     Returns step(euler, sdot_flat) -> (rigid_velocities [R], euler_next,
     info) running: sharded assembly -> slab corrections -> implicit
@@ -192,10 +224,18 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
     Config parity with the single-chip path:
     - `solver.gmres_restart` / `solver.max_steps` bound the Arnoldi work
       exactly like `StokesBEMProblem.solve_frame`;
+    - `solver.preconditioner_type == "Direct"` uses the DISTRIBUTED stale-LU
+      preconditioner (`parallel.lu`): the slab-sharded surface block is
+      factored by the blocked LU, the R rigid tail rows/columns are folded
+      in exactly via a bordered Schur complement (one distributed LU solve
+      per application), and the factors are REUSED across frames with the
+      reference's refactor-on-iteration-trigger semantics
+      (`source/direct_preconditioner.cc`, trigger `source/bem_stokes.cc:
+      4336-4339, 5768-5779`); `solver.preconditioner_dtype == "float32"`
+      factors in f32 (the TPU mixed-precision path);
     - `solver.preconditioner_type == "Jacobi"` uses the distributed diagonal;
-      every other type (incl. "Direct") maps to block-Jacobi-LU — each
-      device's diagonal block is its local dense LU, the scalable slab
-      analog of the reference's rank-local direct preconditioner;
+      every other type maps to block-Jacobi-LU — each device's diagonal
+      block is its local dense LU;
     - `time_integration == "Heun"` is provided by `sharded_heun_step`
       (predictor-corrector re-running this step at the midpoint geometry,
       reference `source/bem_stokes.cc:5787-5835`).
@@ -218,7 +258,9 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
     ] = 1.0
     from ..fem.geometry import support_points as support_points_fn
 
-    def step(euler, sdot_flat):
+    def build_system(euler, sdot_flat):
+        """Sharded assembly + corrections + implicit monolithic system;
+        returns the traced pieces shared by every preconditioner variant."""
         euler = euler.astype(dt_num)
         mass_op, (xq, normals_q, jxw) = build_mass_operator(euler, tables)
         body_nodes = jnp.asarray(problem.body_node_mask, dt_num)
@@ -243,7 +285,13 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
             V_slab, resid_slab, Mn_pure_f / l2g_pure, dmesh
         )
         K_slab = slab_solid_angle_correction(
-            K_slab, n, d, dmesh, use_internal_alpha=cfg.use_internal_alpha
+            K_slab,
+            n,
+            d,
+            dmesh,
+            use_internal_alpha=cfg.use_internal_alpha,
+            component_labels=problem.node_component_label,
+            component_alpha=problem.node_component_alpha,
         )
 
         def P_t(v):
@@ -280,6 +328,33 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
         if cfg.grid_type == "ImposedVelocity":
             tail = jnp.zeros_like(N_dual_flat)
 
+        rhs_tail = jnp.zeros((R,), dt_num)
+        if cfg.grid_type != "Real":
+            from ..ops.monolithic import imposed_tail_vector
+
+            rhs = jnp.concatenate(
+                [
+                    jnp.zeros((d * n,), dt_num),
+                    imposed_tail_vector(
+                        R,
+                        d,
+                        cfg.imposed_component,
+                        angle=cfg.angle_for_imposed_stuff,
+                        rotate=cfg.extra_debug_info,
+                        dtype=dt_num,
+                    ),
+                ]
+            )
+        else:
+            rhs = jnp.concatenate([rhs_surface, rhs_tail])
+        return dict(
+            euler=euler, A_slab=A_slab, tmp_N=tmp_N, tail=tail, rhs=rhs,
+            pole=pole,
+        )
+
+    def make_matvec(sysd):
+        A_slab, tmp_N, tail = sysd["A_slab"], sysd["tmp_N"], sysd["tail"]
+
         def matvec(x):  # x = [dn + R] replicated
             xs, u = x[: d * n], x[d * n :]
             y_surf = slab_to_flat(_slab_mv(A_slab, xs, dmesh), n, d, dmesh)
@@ -290,15 +365,69 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
                 y_tail = tail @ xs
             return jnp.concatenate([y_surf, y_tail])
 
-        rhs_tail = jnp.zeros((R,), dt_num)
-        if cfg.grid_type != "Real":
-            rhs = jnp.concatenate(
-                [jnp.zeros((d * n,), dt_num), rhs_tail.at[cfg.imposed_component].set(1.0)]
-            )
-        else:
-            rhs = jnp.concatenate([rhs_surface, rhs_tail])
+        return matvec
 
-        # ---- preconditioned GMRES (preconditioner per config) ----
+    # ---- distributed stale-LU direct preconditioner (parallel.lu) ----
+    fdt = (
+        jnp.float32
+        if cfg.solver.preconditioner_dtype == "float32"
+        else dt_num
+    )
+
+    def direct_factor(sysd):
+        """Distributed blocked-LU of the surface slab + bordered Schur
+        complement for the R rigid tail rows/columns: with As = surface
+        block, B = -scale tmp_N^T, T/D the tail rows, the preconditioner is
+        the EXACT monolithic inverse [[As, B], [T, D]]^-1 expressed through
+        Z = As^-1 B and S = D - T Z (one distributed LU solve per apply)."""
+        from .lu import slab_reorder_columns, slab_lu_factor, slab_lu_solve
+
+        A2 = slab_reorder_columns(sysd["A_slab"], n, d, dmesh).astype(fdt)
+        lu, perm = slab_lu_factor(A2, dmesh)
+        Zcols = []
+        for r in range(R):
+            brhs = flat_to_slab(
+                (-scale * sysd["tmp_N"][r]).astype(fdt), n, d, dmesh
+            )
+            Zcols.append(
+                slab_to_flat(slab_lu_solve(lu, perm, brhs, dmesh), n, d, dmesh)
+            )
+        Z = jnp.stack(Zcols, axis=1)  # [dn, R]
+        if cfg.grid_type == "ImposedVelocity":
+            T = jnp.zeros((R, d * n), fdt)
+            D = scale * jnp.eye(R, dtype=fdt)
+        else:
+            T = sysd["tail"].astype(fdt)
+            D = jnp.zeros((R, R), fdt)
+        S_lu = jax.scipy.linalg.lu_factor(D - T @ Z)
+        return dict(lu=lu, perm=perm, Z=Z, T=T, S_lu=S_lu)
+
+    def direct_apply(fac):
+        from .lu import slab_lu_solve
+
+        def precond(x):
+            b_s, b_u = x[: d * n], x[d * n :]
+            w = slab_to_flat(
+                slab_lu_solve(
+                    fac["lu"],
+                    fac["perm"],
+                    flat_to_slab(b_s.astype(fdt), n, d, dmesh),
+                    dmesh,
+                ),
+                n,
+                d,
+                dmesh,
+            )
+            x_u = jax.scipy.linalg.lu_solve(
+                fac["S_lu"], b_u.astype(fdt) - fac["T"] @ w
+            )
+            x_s = w - fac["Z"] @ x_u
+            return jnp.concatenate([x_s, x_u]).astype(x.dtype)
+
+        return precond
+
+    def make_precond(sysd):
+        A_slab = sysd["A_slab"]
         if cfg.solver.preconditioner_type == "Jacobi":
             diag_slab = slab_diagonal(A_slab, n, d, dmesh)
 
@@ -309,7 +438,7 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
                 )
                 return jnp.concatenate([ys, u])
 
-        else:
+        else:  # block-Jacobi-LU slab blocks (SOR/SSOR/ILU/AMG analogs)
             lu_slab, piv_slab = slab_block_jacobi_lu(A_slab, None, n, d, R, dmesh)
 
             def precond(x):
@@ -324,11 +453,15 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
                 )
                 return jnp.concatenate([ys, u])
 
-        restart = cfg.solver.gmres_restart
-        max_restarts = max(1, -(-cfg.solver.max_steps // max(restart, 1)))
+        return precond
+
+    restart = cfg.solver.gmres_restart
+    max_restarts = max(1, -(-cfg.solver.max_steps // max(restart, 1)))
+
+    def solve_and_finish(sysd, precond):
         x, info = gmres(
-            matvec,
-            rhs,
+            make_matvec(sysd),
+            sysd["rhs"],
             precond=precond,
             restart=restart,
             tol=cfg.solver.tolerance,
@@ -338,15 +471,16 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
 
         # ---- rigid update: translation + rotation of body nodes about the
         # pole (forward-Euler axis-angle, reference `:4728-4846`) ----
+        euler, pole = sysd["euler"], sysd["pole"]
         U = rigid_vel[:d]
         body = jnp.asarray(map_body, dt_num)[:, None]
         euler_next = euler + cfg.time_step * U[None, :] * body
-        if d == 3 and cfg.consider_rigid_rotations:
+        if cfg.consider_rigid_rotations:
             from ..physics.kinematics import update_rotation_matrix
 
             Rm = update_rotation_matrix(
-                jnp.eye(3, dtype=dt_num),
-                rigid_vel[d : 2 * d],
+                jnp.eye(d, dtype=dt_num),
+                rigid_vel[d : 2 * d] if d == 3 else rigid_vel[d],
                 cfg.time_step,
                 forward_euler=True,
             )
@@ -354,7 +488,50 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
             euler_next = jnp.where(body > 0, rotated, euler_next)
         return rigid_vel, euler_next, info
 
-    return jax.jit(step)
+    if cfg.solver.preconditioner_type != "Direct":
+
+        def step(euler, sdot_flat):
+            sysd = build_system(euler, sdot_flat)
+            return solve_and_finish(sysd, make_precond(sysd))
+
+        return jax.jit(step)
+
+    # Direct: two compiled variants + host-side stale-reuse bookkeeping
+    # (reference refactor-on-trigger, `source/bem_stokes.cc:4336-4339`)
+    @jax.jit
+    def _step_fresh(euler, sdot_flat):
+        sysd = build_system(euler, sdot_flat)
+        fac = direct_factor(sysd)
+        out = solve_and_finish(sysd, direct_apply(fac))
+        return out + (fac,)
+
+    @jax.jit
+    def _step_stale(euler, sdot_flat, fac):
+        sysd = build_system(euler, sdot_flat)
+        return solve_and_finish(sysd, direct_apply(fac))
+
+    state = {"factors": None, "last_iterations": 0, "refactored": False}
+
+    def step(euler, sdot_flat):
+        reuse = (
+            state["factors"] is not None
+            and state["last_iterations"]
+            <= cfg.solver.refactor_iteration_trigger
+        )
+        if reuse:
+            rigid_vel, euler_next, info = _step_stale(
+                euler, sdot_flat, state["factors"]
+            )
+            state["refactored"] = False
+        else:
+            rigid_vel, euler_next, info, fac = _step_fresh(euler, sdot_flat)
+            state["factors"] = fac
+            state["refactored"] = True
+        state["last_iterations"] = int(info["iterations"])
+        return rigid_vel, euler_next, info
+
+    step.stale_state = state
+    return step
 
 
 def sharded_heun_step(step, euler, sdot_flat, euler_pred=None, sdot_pred=None):

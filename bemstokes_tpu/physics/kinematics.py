@@ -51,6 +51,12 @@ def _quaternion_rate(q: jnp.ndarray, omega: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def rotation_matrix_2d(angle) -> jnp.ndarray:
+    """2x2 counterclockwise rotation by `angle`."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.array([[c, -s], [s, c]])
+
+
 def update_rotation_matrix(
     Rm: jnp.ndarray,
     omega: jnp.ndarray,
@@ -60,7 +66,13 @@ def update_rotation_matrix(
 ) -> jnp.ndarray:
     """Advance the accumulated body rotation by angular velocity omega over
     dt: forward-Euler or theta-scheme (Crank-Nicolson at theta=0.5) on the
-    quaternion ODE, renormalized (reference `:4630-4686`)."""
+    quaternion ODE, renormalized (reference `:4630-4686`).
+
+    2D (2x2 Rm): `omega` is the scalar rotation rate and the increment
+    `Rot(omega dt) . Rm` is exact — SO(2) needs no quaternion scheme."""
+    if Rm.shape[-1] == 2:
+        ang = jnp.asarray(omega).reshape(()) * dt
+        return rotation_matrix_2d(ang) @ Rm
     q = quaternion_from_rotation_matrix(Rm)
     qdot = _quaternion_rate(q, omega)
     if forward_euler:
@@ -68,13 +80,19 @@ def update_rotation_matrix(
     else:
         ox, oy, oz = omega[0], omega[1], omega[2]
         h = theta * dt * 0.5
-        # A_CN q_new = q + (1-theta) dt qdot  (reference `:4643-4676`)
+        # A_CN q_new = q + (1-theta) dt qdot with A_CN = I - theta dt/2 Omega,
+        # Omega the rate matrix of `_quaternion_rate` (reference `:4643-4676`;
+        # NOTE the reference's A_CN flips the signs of the spatial 3x3 block
+        # relative to its own qdot — a latent inconsistency that is invisible
+        # for fixed-axis omega, the only case its tests cover.  We build the
+        # consistent matrix so FE and CN integrate the SAME ODE and CN is
+        # genuinely 2nd order for time-varying axes.)
         A = jnp.array(
             [
                 [1.0, h * ox, h * oy, h * oz],
-                [-h * ox, 1.0, -h * oz, h * oy],
-                [-h * oy, h * oz, 1.0, -h * ox],
-                [-h * oz, -h * oy, h * ox, 1.0],
+                [-h * ox, 1.0, h * oz, -h * oy],
+                [-h * oy, -h * oz, 1.0, h * ox],
+                [-h * oz, h * oy, -h * ox, 1.0],
             ]
         )
         rhs = q + (1.0 - theta) * dt * qdot

@@ -175,6 +175,23 @@ class StokesBEMProblem:
             (self.body_node_mask > 0) & ~(init_sp[:, 0] > -0.1)
         ).astype(np.float64)
 
+        # per-node component labels / alpha targets for the per-component
+        # solid-angle correction (alpha_row_sum == "component")
+        self.node_component_label = None
+        self.node_component_alpha = None
+        if getattr(self.cfg, "alpha_row_sum", "full") == "component":
+            from .mesh.surface_mesh import cell_components_and_closedness
+
+            cell_lab, closed = cell_components_and_closedness(mesh)
+            lab = np.zeros(self.n, dtype=np.int32)
+            lab[self.fe_space.cells_nodes.ravel()] = np.repeat(
+                cell_lab, self.fe_space.nl
+            )
+            self.node_component_label = lab
+            self.node_component_alpha = np.where(
+                closed[lab], 1.0, 0.5
+            ).astype(np.float64)
+
         from .mesh.constraints import hanging_node_constraints_for_space
 
         self.hanging = hanging_node_constraints_for_space(mesh, self.fe_space)
@@ -304,7 +321,12 @@ class StokesBEMProblem:
         V, K = assemble_V_K(euler, sp, self.tables)
         V, Vn_pre = v_nullspace_correction(V, n_pure_f, Mn_pure_f, l2g_pure)
         K, k_check = k_solid_angle_correction(
-            K, n, d, use_internal_alpha=cfg.use_internal_alpha
+            K,
+            n,
+            d,
+            use_internal_alpha=cfg.use_internal_alpha,
+            component_labels=self.node_component_label,
+            component_alpha=self.node_component_alpha,
         )
 
         def P_t(v):
@@ -330,6 +352,8 @@ class StokesBEMProblem:
                 mass_op.matvec(unflatten(torque_mode_flat, d))
             )
             tmp_torque = PKP(torque_mode_flat)
+        from .ops.monolithic import imposed_tail_vector
+
         A, rhs = build_monolithic_system(
             V,
             K,
@@ -343,6 +367,14 @@ class StokesBEMProblem:
             tmp_torque=tmp_torque if cfg.solve_with_torque else None,
             torque_dual=torque_dual_flat if cfg.solve_with_torque else None,
             imposed_motor_torque=cfg.imposed_motor_torque,
+            imposed_tail=imposed_tail_vector(
+                self.num_rigid,
+                d,
+                cfg.imposed_component,
+                angle=cfg.angle_for_imposed_stuff,
+                rotate=cfg.extra_debug_info,
+                dtype=dt,
+            ),
         )
         if self.hanging.n:
             from .mesh.constraints import apply_hanging_constraints_monolithic

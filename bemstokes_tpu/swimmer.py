@@ -140,8 +140,8 @@ class SwimmerSimulation:
                 rotation_matrix_from_quaternion(jnp.asarray(q / np.linalg.norm(q)))
             )
         else:
-            # 2D: rotations are tracked as displacement history only (the
-            # reference's quaternion machinery is 3D-only)
+            # 2D: a 2x2 rotation matrix advanced by the scalar rate U[2]
+            # (the reference's quaternion machinery is 3D-only)
             rot0 = np.eye(2)
         self.state = SwimmerState(
             rotation=rot0,
@@ -234,20 +234,50 @@ class SwimmerSimulation:
             # surface rhs is zeroed in the monolithic build
             return jnp.zeros((self.problem.dim * self.problem.n,))
         if cfg.velocity_type == "Squirmer":
-            path = os.path.join(
-                cfg.input_grid_path, f"squirming_velocity_{frame}.npy"
-            )
-            return jnp.asarray(np.load(path)).reshape(-1)
+            return jnp.asarray(self._read_squirming_velocities(frame))
         euler_next = self.euler_for_frame(frame + cfg.delta_frame)
         return self.problem.shape_velocities_fd(euler_now, euler_next)
+
+    def _read_squirming_velocities(self, frame: int) -> np.ndarray:
+        """Squirmer gait velocities from disk: the reference reads
+        `<input_velocity_path><basename><dim>d_frame_<frame>.bin` in deal.II
+        block_write binary (`source/bem_stokes.cc:2124-2133`); `.npy`
+        variants of the same stem are accepted for numpy workflows.  The
+        payload is the component-blocked flat [d*n] vector."""
+        cfg = self.cfg
+        d = self.problem.dim
+        base = os.path.join(
+            cfg.input_velocity_path, cfg.squirming_velocity_basename
+        )
+        candidates = [
+            (f"{base}{d}d_frame_{frame}.bin", "bin"),
+            (f"{base}{frame}.bin", "bin"),
+            (f"{base}{d}d_frame_{frame}.npy", "npy"),
+            (f"{base}{frame}.npy", "npy"),
+        ]
+        for path, kind in candidates:
+            if os.path.exists(path):
+                if kind == "bin":
+                    from .utils.dealii_io import block_read
+
+                    return block_read(path)
+                return np.load(path).reshape(-1)
+        raise FileNotFoundError(
+            f"no squirming velocity file for frame {frame} under "
+            f"{base}* (tried {[p for p, _ in candidates]})"
+        )
 
     def _advance_state(self, rigid_velocities: np.ndarray, N):
         cfg = self.cfg
         d = self.problem.dim
         U = jnp.asarray(rigid_velocities)
         v_full, v_tr = rigid_pointwise_velocities(U, N, d, 1.0)
-        if d == 3 and cfg.consider_rigid_rotations:
-            omega = U[d : 2 * d]
+        if cfg.consider_rigid_rotations:
+            # 3D: quaternion forward-Euler on omega = U[3:6]; 2D: the scalar
+            # rotation rate U[2] advances the 2x2 rotation exactly (the
+            # reference 2D rigid machinery has num_rigid = 3 with one
+            # rotation mode, `source/bem_stokes.cc:2441-2788` 2D branches)
+            omega = U[d : 2 * d] if d == 3 else U[d]
             self.state.rotation = np.asarray(
                 update_rotation_matrix(
                     jnp.asarray(self.state.rotation),
@@ -360,6 +390,16 @@ class SwimmerSimulation:
         )
         if not res.get("converged", True):
             print(f"frame {frame}: WARNING solver did not converge")
+        if self.cfg.extra_debug_info:
+            # the reference's dpcout channel (rank-0 + extra_debug_info,
+            # `include/bem_stokes.h:659`): per-frame state detail
+            U = np.asarray(res["rigid_velocities"])
+            print(
+                f"frame {frame} [debug]: rigid velocities {U}, "
+                f"body mass {float(diag['mass_body']):.12e}, "
+                f"com {np.asarray(diag['com_body'])}, "
+                f"refactored={res.get('refactored', False)}"
+            )
 
     def _origin_velocities(self, U, res):
         """Transform rigid velocities from the force pole to the origin

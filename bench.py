@@ -42,6 +42,11 @@ def main():
 
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    # engage jax.distributed when launched under a multi-process runner
+    # (JAX_* env vars / TPU-pod auto-detection); single-process no-op
+    from bemstokes_tpu.parallel.multihost import initialize_multihost
+
+    initialize_multihost()
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

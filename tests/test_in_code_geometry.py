@@ -129,6 +129,7 @@ def _squirmer_cfg(squirmer_dir, **kw):
         input_grid_path=f"{squirmer_dir}/",
         input_grid_base_name="squirmer_",
         input_grid_format="msh",
+        input_velocity_path=f"{squirmer_dir}/",
         velocity_type="Squirmer",
         consider_rigid_displacements=False,
         consider_rigid_rotations=False,
@@ -164,3 +165,32 @@ def test_squirmer_frozen_fast_path(squirmer_dir, tmp_path):
     speed = abs(U_a[0])
     assert abs(speed - 2.0 / 3.0) / (2.0 / 3.0) < 5e-2, U_a
     assert np.max(np.abs(U_a[1:])) < 5e-3 * speed
+
+
+def test_squirmer_reads_dealii_block_bin(squirmer_dir, tmp_path):
+    """Squirmer IO parity: the reference reads
+    `<input_velocity_path><basename><dim>d_frame_<frame>.bin` in deal.II
+    block_write binary (`source/bem_stokes.cc:2124-2133`); the `.bin` file
+    must take precedence over a `.npy` sibling and give identical physics."""
+    from bemstokes_tpu.utils.dealii_io import block_read, block_write
+
+    bin_dir = tmp_path / "vel_bin"
+    bin_dir.mkdir()
+    for f in (0, 1):
+        sdot = np.load(squirmer_dir / f"squirming_velocity_{f}.npy")
+        block_write(bin_dir / f"squirming_velocity_3d_frame_{f}.bin", sdot)
+        # roundtrip sanity
+        assert np.array_equal(
+            block_read(bin_dir / f"squirming_velocity_3d_frame_{f}.bin"), sdot
+        )
+        # a poisoned npy sibling: the reference-format bin must win
+        np.save(bin_dir / f"squirming_velocity_{f}.npy", 0.0 * sdot)
+
+    sim = SwimmerSimulation(
+        _squirmer_cfg(squirmer_dir, input_velocity_path=f"{bin_dir}/"),
+        output_dir=str(tmp_path / "out"),
+    )
+    hist = sim.run(0, 1)
+    U = np.asarray(hist[0]["rigid_velocities"])
+    speed = abs(U[0])
+    assert abs(speed - 2.0 / 3.0) / (2.0 / 3.0) < 5e-2, U

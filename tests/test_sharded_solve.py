@@ -109,3 +109,32 @@ def test_sharded_jacobi_and_heun(reference_grid_dir):
         step, euler0, sdot, euler_pred=euler1, sdot_pred=sdot_back
     )
     assert abs(float(U_heun[0])) < 2e-2 * exact
+
+
+def test_ring_matvec_matches_gather_matvec():
+    """sharded_matvec_ring (ppermute ring over slab-ordered operands, the
+    explicit comm/compute-overlap formulation) == sharded_matvec + gather."""
+    import numpy as np
+    from bemstokes_tpu.parallel.sharded import (
+        padded_rows,
+        flat_to_slab,
+        slab_to_flat,
+        sharded_matvec,
+        sharded_matvec_ring,
+    )
+    from bemstokes_tpu.parallel.lu import slab_reorder_columns
+
+    mesh = row_mesh(8)
+    d, n = 3, 37
+    _, nloc = padded_rows(n, mesh)
+    Np = 8 * d * nloc
+    rng = np.random.default_rng(3)
+    A_slab = jnp.asarray(rng.standard_normal((Np, d * n)))
+    x = jnp.asarray(rng.standard_normal(d * n))
+
+    y_ref = slab_to_flat(sharded_matvec(A_slab, x, mesh), n, d, mesh)
+    A2 = slab_reorder_columns(A_slab, n, d, mesh)
+    y_ring = slab_to_flat(
+        sharded_matvec_ring(A2, flat_to_slab(x, n, d, mesh), mesh), n, d, mesh
+    )
+    assert np.allclose(np.asarray(y_ring), np.asarray(y_ref), atol=1e-10)

@@ -180,3 +180,41 @@ def test_vtu_output_fields_and_subcells(tmp_path, reference_grid_dir):
     assert f'NumberOfCells="{4 * n_cells}"' in vtu
     # points are the fe-space nodes, not just the vertices
     assert f'NumberOfPoints="{sim.problem.fe_space.n_nodes}"' in vtu
+
+
+def test_heun_is_predictor_corrector_average(reference_grid_dir, tmp_path):
+    """Pins the exact Heun semantics (reference `source/bem_stokes.cc:
+    5787-5835`): the recorded velocity is 0.5 * (U_predictor + U_corrector),
+    where the corrector re-solves at the NEXT frame's gait geometry under the
+    predictor-advanced rigid state.  Any other averaging scheme fails the
+    1e-12 agreement."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg(
+        reference_grid_dir,
+        time_integration="Heun",
+        consider_rigid_displacements=True,
+    )
+    sim = SwimmerSimulation(cfg, output_dir=str(tmp_path / "heun"))
+    hist = sim.run(0, 1)
+    U_heun = np.asarray(hist[0]["rigid_velocities"])
+
+    # replay the two solves by hand on a fresh simulation
+    ref = SwimmerSimulation(
+        make_cfg(reference_grid_dir, consider_rigid_displacements=True),
+        output_dir=str(tmp_path / "manual"),
+    )
+    euler0 = ref.euler_for_frame(0)
+    sdot0 = ref.shape_velocities(0, euler0)
+    res0 = ref.problem.solve_frame(euler0, sdot0, jnp.asarray(ref.state.rotation))
+    U0 = np.asarray(res0["rigid_velocities"])
+    ref._advance_state(U0, jnp.asarray(res0["operators"]["N"]))
+    euler1 = ref.euler_for_frame(1)
+    sdot1 = ref.shape_velocities(1, euler1)
+    res1 = ref.problem.solve_frame(euler1, sdot1, jnp.asarray(ref.state.rotation))
+    U1 = np.asarray(res1["rigid_velocities"])
+
+    assert np.allclose(U_heun, 0.5 * (U0 + U1), atol=1e-12), (
+        U_heun,
+        0.5 * (U0 + U1),
+    )

@@ -83,7 +83,8 @@ def test_spiral_gait_swims(tmp_path):
     U0 = np.asarray(hist[0]["rigid_velocities"], dtype=float)
     U1 = np.asarray(hist[1]["rigid_velocities"], dtype=float)
     assert np.all(np.isfinite(U0)) and np.all(np.isfinite(U1))
-    # the wave swims: nonzero translation, steady between frames
+    # the wave swims: nonzero translation, steady between frames (measured
+    # s0/s1 = 1.0027 — the gait really is a steady traveling wave)
     s0, s1 = np.linalg.norm(U0[:3]), np.linalg.norm(U1[:3])
     assert s0 > 1e-6 and s1 > 1e-6
-    assert 0.3 < s0 / s1 < 3.0
+    assert 0.95 < s0 / s1 < 1.05
