@@ -138,7 +138,10 @@ class ProblemConfig:
     # built-in sphere generation (reference `:288-290`)
     build_sphere_in_code: bool = False
     internal_sphere_refinements: int = 3
-    # convergence-study controls (reference `:210, 268`)
+    # convergence-study controls (reference `:210, 268`); NOTE
+    # num_convergence_cycles is declared-but-dead in the reference too (its
+    # `num_convergence_cycle` member has zero readers) — parsed for .prm
+    # parity, `n_cycles` is the live control
     n_cycles: int = 4
     num_convergence_cycles: int = 3
     # two-sphere analysis (reference `:212-214`)
@@ -149,6 +152,10 @@ class ProblemConfig:
     dtype: str = "float64"
     row_tile: int = 32
     cell_chunk: int = 256
+    # f64 runs on TPU: do the O(N^2) smooth bulk assembly in f32 through the
+    # fused Pallas kernel, keep near/singular corrections + solve in f64
+    # (ops.assemble.AssemblyConfig.mixed_bulk)
+    mixed_precision_bulk: bool = False
     # curved geometry: snap high-order mapping nodes onto an analytic body
     # manifold (none|sphere|spheroid|cylinder) — required to reach the 1e-6
     # sphere-drag validation target with map_degree >= 2

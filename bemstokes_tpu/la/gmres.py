@@ -1,12 +1,15 @@
 """Jitted restarted GMRES with Givens rotations and right preconditioning —
 the solve layer of the framework (the reference delegates to deal.II
 SolverGMRES over Trilinos vectors, `source/bem_stokes.cc:4270-4340`; here the
-Arnoldi loop is a lax.scan compiled by XLA, so each iteration is one fused
-matvec + orthogonalization on device).
+Arnoldi loop is a lax.while_loop compiled by XLA, so each iteration is one
+fused matvec + orthogonalization on device and the loop EXITS at
+convergence — a masked fixed-trip scan would execute every one of
+restart x max_restarts matvecs even for a 1-iteration solve, which is
+exactly the regime the stale-LU preconditioner puts us in).
 
 matvec and precond are arbitrary callables (dense GEMV, implicit monolithic
-operator, or sharded shard_map matvec), so the same routine serves the
-single-chip and the row-sharded multi-chip paths.
+operator, or sharded shard_map matvec incl. collectives), so the same
+routine serves the single-chip and the row-sharded multi-chip paths.
 """
 
 from __future__ import annotations
@@ -34,9 +37,9 @@ def gmres(
     """Solve A x = b. Returns (x, info) with info = dict(residual, iterations).
 
     Right-preconditioned: solves A M^-1 y = b, x = M^-1 y, so the residual
-    is the true residual.  Fixed-shape Arnoldi basis of size restart+1 per
-    cycle; early convergence masks further work instead of exiting (static
-    shapes for XLA).
+    is the true residual.  Fixed-shape Arnoldi buffers of size restart+1 per
+    cycle; both the inner Arnoldi loop and the outer restart loop are
+    lax.while_loops that stop at convergence.
     """
     if precond is None:
         precond = _identity
@@ -60,10 +63,15 @@ def gmres(
         g = jnp.zeros((m + 1,), dt).at[0].set(beta)
         V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
 
-        def step(carry, j):
-            V, H, cs, sn, g, done = carry
+        def cond(state):
+            *_, j, done = state
+            return jnp.logical_and(j < m, jnp.logical_not(done))
+
+        def body(state):
+            V, H, cs, sn, g, j, done = state
             w = matvec(precond(V[j]))
-            # modified Gram-Schmidt against all basis vectors (masked)
+            # modified Gram-Schmidt against all basis vectors (masked; the
+            # masked dots are O(m n) vector work, cheap next to the matvec)
             mask = (jnp.arange(m + 1) <= j).astype(dt)
 
             def mgs(w, i):
@@ -74,44 +82,34 @@ def gmres(
             hj1 = jnp.linalg.norm(w)
             hcol = hcol.at[j + 1].set(hj1)
             v_next = w / jnp.where(hj1 == 0, 1.0, hj1)
-            V2 = V.at[j + 1].set(v_next)
+            V = V.at[j + 1].set(v_next)
 
             # apply accumulated Givens rotations to the new column
+            # (rotations with index > j are identity by construction)
             def rot(hc, i):
                 hi = hc[i] * cs[i] + hc[i + 1] * sn[i]
                 hi1 = -hc[i] * sn[i] + hc[i + 1] * cs[i]
                 hc = hc.at[i].set(hi).at[i + 1].set(hi1)
                 return hc, None
 
-            hcol, _ = jax.lax.scan(
-                rot, hcol, jnp.arange(m), unroll=False
-            )
+            hcol, _ = jax.lax.scan(rot, hcol, jnp.arange(m), unroll=False)
             # new rotation to zero hcol[j+1]
             denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
             denom_s = jnp.where(denom == 0, 1.0, denom)
             c_new = jnp.where(denom == 0, 1.0, hcol[j] / denom_s)
             s_new = jnp.where(denom == 0, 0.0, hcol[j + 1] / denom_s)
             hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
-            cs2 = cs.at[j].set(c_new)
-            sn2 = sn.at[j].set(s_new)
-            g2 = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            g = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
+            H = H.at[:, j].set(hcol)
 
-            H2 = H.at[:, j].set(hcol)
-            # freeze state once converged (mask further updates)
-            new_done = jnp.abs(g2[j + 1]) < atol
-            keep = jnp.logical_not(done)
-            V = jnp.where(keep, V2, V)
-            H = jnp.where(keep, H2, H)
-            cs = jnp.where(keep, cs2, cs)
-            sn = jnp.where(keep, sn2, sn)
-            g = jnp.where(keep, g2, g)
-            iters = keep.astype(jnp.int32)
-            return (V, H, cs, sn, g, jnp.logical_or(done, new_done)), iters
+            done = jnp.abs(g[j + 1]) < atol
+            return V, H, cs, sn, g, j + 1, done
 
-        (V, H, cs, sn, g, done), its = jax.lax.scan(
-            step, (V, H, cs, sn, g, beta < atol), jnp.arange(m)
+        V, H, cs, sn, g, k, _ = jax.lax.while_loop(
+            cond, body, (V, H, cs, sn, g, jnp.int32(0), beta < atol)
         )
-        k = jnp.sum(its)  # iterations actually performed this cycle
 
         # back-substitution on the k x k system (masked full triangular solve)
         mask = (jnp.arange(m) < k).astype(dt)
@@ -120,12 +118,21 @@ def gmres(
         dx = precond((y * mask) @ V[:m])
         return x + dx, jnp.abs(g[k]), k
 
-    def cycle(carry, _):
-        x, total_it, res = carry
-        x, res, k = arnoldi_cycle(x)
-        return (x, (total_it + k).astype(jnp.int32), res), None
+    def cond(carry):
+        _, _, res, c = carry
+        return jnp.logical_and(c < max_restarts, res > atol)
 
-    (x, iters, res), _ = jax.lax.scan(
-        cycle, (x0, jnp.int32(0), b_norm), None, length=max_restarts
+    def body(carry):
+        x, total_it, _, c = carry
+        x, _, k = arnoldi_cycle(x)
+        # restart on the TRUE residual: the in-cycle Givens estimate drifts
+        # from it under finite precision (especially with the f32-LU
+        # preconditioner under f64 iteration), and the estimate deciding the
+        # outer exit would stop at a less-converged solution
+        res = jnp.linalg.norm(b - matvec(x))
+        return x, (total_it + k).astype(jnp.int32), res, c + 1
+
+    x, iters, res, _ = jax.lax.while_loop(
+        cond, body, (x0, jnp.int32(0), b_norm, jnp.int32(0))
     )
     return x, {"residual": res, "iterations": iters}

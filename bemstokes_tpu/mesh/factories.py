@@ -181,6 +181,7 @@ def add_walls_to_mesh(mesh: SurfaceMesh, cfg) -> SurfaceMesh:
                 cyl.point_on_axis,
                 cyl.wall_type,
                 cyl.flip_normal,
+                apply_manifold=cyl.apply_manifold,
             )
         mesh = mesh.merged_with(cw)
     wr = getattr(cfg, "wall_refinement", None)
@@ -208,12 +209,15 @@ def create_cylindrical_wall(
     n_around: int = 8,
     n_length: int = 4,
     refinements: int = 0,
+    apply_manifold: bool = True,
 ) -> SurfaceMesh:
     """Open cylindrical wall tube (reference `create_cylindrical_wall`,
     `source/bem_stokes.cc:887-1156`): axis `direction` through
     `point_on_axis`, extending ±height/2.  Parametric normals point inward
     (toward the axis, the fluid side for a container); `flip_normal`
-    reverses.  Refinement snaps to the cylinder via CylindricalManifold."""
+    reverses.  Refinement snaps to the cylinder via CylindricalManifold
+    unless `apply_manifold` is false (the reference's
+    `cylinder_manifold_bool` gate on `add_cylinder_to_tria`, `:794-806`)."""
     from .refine import CylindricalManifold
 
     d = np.asarray(direction, dtype=np.float64)
@@ -253,9 +257,12 @@ def create_cylindrical_wall(
         np.full(len(cells), bool(flip_normal)),
     )
     if refinements:
-        mesh = refine_uniform(
-            mesh, CylindricalManifold(direction=d, point_on_axis=p0), times=refinements
+        manifold = (
+            CylindricalManifold(direction=d, point_on_axis=p0)
+            if apply_manifold
+            else None
         )
+        mesh = refine_uniform(mesh, manifold, times=refinements)
     return mesh
 
 

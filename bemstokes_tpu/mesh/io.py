@@ -211,6 +211,17 @@ def read_mesh(
         mesh = read_vtk(path, dim)
     elif path.endswith(".obj"):
         mesh = read_obj(path, dim)
+    elif path.endswith(".iges") or path.endswith(".igs"):
+        # the reference reads iges flagellum CAD geometry only when built
+        # with OpenCASCADE (`BEM_STOKES_WITH_OCE`, `source/bem_stokes.cc:
+        # 532-578`); no CAD kernel is available in this environment, and the
+        # analytic flagellum factory (bemstokes_tpu.flagella) covers the
+        # same geometry family
+        raise NotImplementedError(
+            "iges input needs a CAD kernel (the reference gates it behind "
+            "BEM_STOKES_WITH_OCE); use the analytic flagellum factory "
+            "(use_flagellum_handler) or convert the CAD surface to msh/inp"
+        )
     else:
         raise ValueError(f"unsupported mesh format: {path}")
     if force_material is not None:

@@ -105,6 +105,14 @@ class AssemblyConfig:
     # - "pallas_interpret": the Pallas kernel in interpreter mode (CPU
     #   testing of the exact kernel semantics).
     backend: str = "auto"
+    # mixed-precision accuracy path: with dtype float64, run the O(N^2)
+    # smooth BULK pass in f32 through the fused Pallas kernel and keep the
+    # near-panel + singular corrections (and everything downstream) in f64.
+    # The f32 bulk carries ~1e-7 relative rounding on the far-field entries
+    # (and on the own-cell smooth part the singular delta subtracts in f64);
+    # integral functionals like the sphere drag average most of it away —
+    # measured by the bench accuracy gate.  SURVEY.md section 7.3.
+    mixed_bulk: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -332,13 +340,20 @@ def assemble_V_K(
 
 def _resolve_backend(cfg: AssemblyConfig) -> AssemblyConfig:
     """Resolve backend="auto": the fused node-mode Pallas kernel wherever it
-    applies (TPU, dim 3, free-space, f32), the XLA path otherwise."""
+    applies — TPU, dim 3, f32, any of the three kernels (free-space,
+    free-surface image, Blake no-slip image) — and the XLA path otherwise.
+    What stays XLA and why: dim 2 (the kernel's SoA planes and MXU
+    contraction are written for 3-vectors; 2D problems are tiny), and f64
+    (no native f64 on the TPU VPU — f64 accuracy runs use the XLA emulated
+    path, optionally with the f32 Pallas bulk via `mixed_bulk`)."""
     if cfg.backend != "auto":
         return cfg
     pallas_ok = (
         cfg.dim == 3
-        and cfg.kernel == KERNEL_FREE_SPACE
-        and jnp.dtype(cfg.dtype) == jnp.float32
+        and (
+            jnp.dtype(cfg.dtype) == jnp.float32
+            or (jnp.dtype(cfg.dtype) == jnp.float64 and cfg.mixed_bulk)
+        )
         and jax.default_backend() != "cpu"
     )
     if pallas_ok:
@@ -582,11 +597,7 @@ def _assemble_rows_node(
     )[..., 0]
     Wj = (Wj * inc_mask[:, :, None]).reshape(n, m)
 
-    use_pallas = (
-        cfg.backend in ("pallas", "pallas_interpret")
-        and d == 3
-        and cfg.kernel == KERNEL_FREE_SPACE
-    )
+    use_pallas = cfg.backend in ("pallas", "pallas_interpret") and d == 3
     if use_pallas:
         from .pallas_node import pallas_node_blocks
 
@@ -599,13 +610,22 @@ def _assemble_rows_node(
         # multiples of 128 when retuning tile sizes.
         T = 128
         CJ = 128
-        xi_p = _pad_to_multiple(xi.astype(dt), T, 0, pad_value=1e8)
+        # mixed-precision: f32 bulk sweep under an f64 assembly (the
+        # corrections below stay f64); plain runs keep the assembly dtype
+        bulk_dt = (
+            jnp.float32
+            if (cfg.mixed_bulk and jnp.dtype(dt) == jnp.float64)
+            else dt
+        )
+        xi_p = _pad_to_multiple(xi.astype(bulk_dt), T, 0, pad_value=1e8)
         n_tiles = xi_p.shape[0] // T
         Y4 = _pad_to_multiple(
-            Yj.reshape(n, vmax, nq, d), CJ, 0, pad_value=1e8
+            Yj.astype(bulk_dt).reshape(n, vmax, nq, d), CJ, 0, pad_value=1e8
         )
-        N4 = _pad_to_multiple(Nj.reshape(n, vmax, nq, d), CJ, 0)
-        W3 = _pad_to_multiple(Wj.reshape(n, vmax, nq), CJ, 0)
+        N4 = _pad_to_multiple(
+            Nj.astype(bulk_dt).reshape(n, vmax, nq, d), CJ, 0
+        )
+        W3 = _pad_to_multiple(Wj.astype(bulk_dt).reshape(n, vmax, nq), CJ, 0)
         ncj = Y4.shape[0] // CJ
         Y_soa = (
             Y4.reshape(ncj, CJ, vmax, nq, d)
@@ -625,7 +645,7 @@ def _assemble_rows_node(
         transposed = (
             _os.environ.get("BEMSTOKES_PALLAS_NODE_LAYOUT", "rows_lane")
             != "rows_sublane"
-        )
+        ) or cfg.kernel != KERNEL_FREE_SPACE  # image kernels: transposed only
         Vb, Kb = pallas_node_blocks(
             xi_p,
             Y_soa,
@@ -637,13 +657,16 @@ def _assemble_rows_node(
             T=T,
             interpret=(cfg.backend == "pallas_interpret"),
             transposed=transposed,
+            kernel=cfg.kernel,
+            wall_axis=cfg.wall_axis,
+            wall_position=cfg.wall_position,
         )  # [9, R, C] (transposed) or [9, C, R]; R/C = padded rows/cols
 
         def blocks_to_dense(arr):
             if not transposed:
                 arr = arr.transpose(0, 2, 1)  # -> [9, R, C]
             a = arr.reshape(3, 3, n_tiles * T, ncj * CJ)[:, :, :nr, :n]
-            return a.transpose(0, 2, 1, 3).reshape(d * nr, d * n)
+            return a.transpose(0, 2, 1, 3).reshape(d * nr, d * n).astype(dt)
 
         V = blocks_to_dense(Vb)
         K = blocks_to_dense(Kb)

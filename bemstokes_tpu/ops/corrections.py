@@ -89,9 +89,9 @@ def k_solid_angle_correction(
     # vals[a, b, i] = -C[a*n+i, b] + delta_ab * alpha_i (internal convention
     # shifts the target by -1: closed -> 0, open screens -> -1/2)
     Cab = C.reshape(d, n, d)  # [a, i, b]
-    vals = -Cab.transpose(0, 2, 1) + jnp.eye(d)[:, :, None] * (
-        alpha - 1.0 if use_internal_alpha else alpha
-    )
+    vals = -Cab.transpose(0, 2, 1) + jnp.eye(d, dtype=K.dtype)[
+        :, :, None
+    ] * (alpha - 1.0 if use_internal_alpha else alpha)
     K = K.at[rows_b.ravel(), cols_b.ravel()].add(vals.ravel())
     if component_labels is None:
         check = jnp.stack(

@@ -123,7 +123,21 @@ def _node_kernel(xi_ref, y_ref, n_ref, w_ref, v_ref, k_ref, *, CJ, nq, vmax, T):
 
 
 def _node_kernel_t(
-    xi_ref, y_ref, n_ref, w_ref, s_ref, v_ref, k_ref, *, CJ, nq, vmax, T
+    xi_ref,
+    y_ref,
+    n_ref,
+    w_ref,
+    s_ref,
+    v_ref,
+    k_ref,
+    *,
+    CJ,
+    nq,
+    vmax,
+    T,
+    kernel="free_space",
+    wall_axis=1,
+    wall_position=0.0,
 ):
     """Transposed-plane variant: working planes [T, CJ*nq] — collocation
     rows in SUBLANES, column samples in LANES.  The column tables (y, n, w)
@@ -134,49 +148,131 @@ def _node_kernel_t(
     (S[m, c] = [m // nq == c], passed in as an input — in-kernel iota//nq
     hits an infinite recursion in Mosaic's convert lowering), i.e. a
     well-shaped [T, CJ*nq] x [CJ*nq, CJ] GEMM instead of a 1-row batched
-    dot.  Outputs are [9, T, CJ]."""
+    dot.  Outputs are [9, T, CJ].
+
+    `kernel` selects the Green's function at trace time:
+    - "free_space": Stokeslet/stresslet (6 symmetric planes + diag);
+    - "free_surface": + mirror image with the wall-normal ROW sign flip
+      (reference `source/free_surface_kernel.cc`, kernels/images.py);
+    - "no_slip": + the Blake image system (mirror Stokeslet + h0-weighted
+      Stokes-doublet/source-doublet corrections, reference
+      `source/no_slip_wall_kernel.cc:23-199`) — the full wall-bounded hot
+      loop fused in VMEM.
+    Image quantities follow kernels/images.py exactly (the oracle the
+    interpret-mode tests compare against), including the dummy-offset
+    convention on exact R == 0 pairs so the singular delta cancels."""
     dt = xi_ref.dtype
     cG = jnp.asarray(1.0 / (8.0 * math.pi), dt)
     cW = jnp.asarray(-3.0 / (4.0 * math.pi), dt)
-    xix = xi_ref[0, 0, :][:, None]  # [T, 1]
-    xiy = xi_ref[0, 1, :][:, None]
-    xiz = xi_ref[0, 2, :][:, None]
+    xi_c = [
+        xi_ref[0, 0, :][:, None],
+        xi_ref[0, 1, :][:, None],
+        xi_ref[0, 2, :][:, None],
+    ]  # [T, 1] each
+    w_ax = wall_axis
+    image = kernel != "free_space"
+    if image:
+        # image collocation point: only the wall component differs
+        xiw_img = 2.0 * jnp.asarray(wall_position, dt) - xi_c[w_ax]
+        # collocation height above the wall (per row): h0 = xi_w - pos
+        h0 = xi_c[w_ax] - jnp.asarray(wall_position, dt)
 
     UT = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-    pv = [None] * 6
-    pk = [None] * 6
-    pdiag = None
+    ORD = tuple((a, b) for a in range(3) for b in range(3))
 
-    def acc(old, new):
-        return new if old is None else old + new
+    class P:  # accumulated plane sets, keyed
+        pass
+
+    acc_d = {}
+
+    def acc(key, new):
+        acc_d[key] = new if key not in acc_d else acc_d[key] + new
 
     for v in range(vmax):
-        Rx = y_ref[0, v, 0, :][None, :] - xix  # [T, CJ*nq]
-        Ry = y_ref[0, v, 1, :][None, :] - xiy
-        Rz = y_ref[0, v, 2, :][None, :] - xiz
-        r2 = Rx * Rx + Ry * Ry + Rz * Rz
+        Y = [y_ref[0, v, c, :][None, :] for c in range(3)]  # [1, CJ*nq]
+        R = [Y[c] - xi_c[c] for c in range(3)]  # [T, CJ*nq]
+        r2 = R[0] * R[0] + R[1] * R[1] + R[2] * R[2]
         zero = r2 == 0
         one = jnp.ones((), dt)
-        Rx = jnp.where(zero, one, Rx)
-        Ry = jnp.where(zero, one, Ry)
-        Rz = jnp.where(zero, one, Rz)
+        R = [jnp.where(zero, one, Rc) for Rc in R]
         r2 = jnp.where(zero, jnp.asarray(3.0, dt), r2)
         invR = jax.lax.rsqrt(r2)
         invR2 = invR * invR
-        nx = n_ref[0, v, 0, :][None, :]
-        ny = n_ref[0, v, 1, :][None, :]
-        nz = n_ref[0, v, 2, :][None, :]
-        pn = Rx * nx + Ry * ny + Rz * nz
-        w = w_ref[0, v, 0, :][None, :]
+        N = [n_ref[0, v, c, :][None, :] for c in range(3)]
+        pn = R[0] * N[0] + R[1] * N[1] + R[2] * N[2]
+        w = w_ref[0, v, 0, :][None, :]  # sample weight (0 on padding)
         wiR = w * invR
         wgs = cG * (wiR * invR2)
         wws = (cW * pn * invR2) * (wiR * invR2)
-        pdiag = acc(pdiag, cG * wiR)
-        comps = (Rx, Ry, Rz)
+        acc("vd", cG * wiR)
         for i, (a, b) in enumerate(UT):
-            dy = comps[a] * comps[b]
-            pv[i] = acc(pv[i], wgs * dy)
-            pk[i] = acc(pk[i], wws * dy)
+            dy = R[a] * R[b]
+            acc(("v", i), wgs * dy)
+            acc(("k", i), wws * dy)
+
+        if image:
+            RI = list(R)
+            RI[w_ax] = Y[w_ax] - xiw_img
+            RI[w_ax] = jnp.where(zero, one, RI[w_ax])
+            rI2 = RI[0] * RI[0] + RI[1] * RI[1] + RI[2] * RI[2]
+            rI2 = jnp.where(zero, jnp.asarray(3.0, dt), rI2)
+            invRI = jax.lax.rsqrt(rI2)
+            invRI2 = invRI * invRI
+            pnI = RI[0] * N[0] + RI[1] * N[1] + RI[2] * N[2]
+            wiRI = w * invRI
+            wgsI = cG * (wiRI * invRI2)
+            if kernel == "free_surface":
+                wwsI = (cW * pnI * invRI2) * (wiRI * invRI2)
+                acc("vdI", cG * wiRI)
+                for i, (a, b) in enumerate(UT):
+                    dyI = RI[a] * RI[b]
+                    acc(("vI", i), wgsI * dyI)
+                    acc(("kI", i), wwsI * dyI)
+            else:  # no_slip (Blake)
+                invRI3 = invRI * invRI2
+                invRI5 = invRI3 * invRI2
+                # h0 is per-row but the dummy pairs must contribute ZERO
+                # correction (the delta recompute gets h0 = 0 there)
+                h0p = jnp.where(zero, jnp.zeros((), dt), h0 + 0.0 * r2)
+                RIw = RI[w_ax]
+                beta = 2.0 * h0p * (RIw - h0p)  # -2h0^2 + 2h0 RI_w
+                # --- G image terms (no_slip_wall_G, scaled by cG = 1/8pi) --
+                # mirror Stokeslet: -G0(RI)
+                acc("vdI", cG * wiRI)
+                for i, (a, b) in enumerate(UT):
+                    acc(("vI", i), wgsI * RI[a] * RI[b])
+                # t_a * [beta * D_ab + 2 h0 SD_ab], D = -3 RI RI /RI^5
+                #  + delta/RI^3, SD_ab = (d_aw RI_b - d_bw RI_a)/RI^3
+                wbD = cG * w * beta * invRI5
+                for i, (a, b) in enumerate(UT):
+                    acc(("vD", i), wbD * RI[a] * RI[b])
+                acc("vDd", cG * w * beta * invRI3)
+                wSD = cG * w * 2.0 * h0p * invRI3
+                for b in range(3):
+                    acc(("vSD", b), wSD * RI[b])
+                # --- K image terms (no_slip_wall_Wn, scale cWn = 3/4pi,
+                # assembled K gets an extra global minus like free space) --
+                # base image: + RI_a RI_b pIn / RI^5
+                wI5 = w * pnI * invRI5
+                for i, (a, b) in enumerate(UT):
+                    acc(("kI", i), wI5 * RI[a] * RI[b])
+                # gamma = t'_a (2h0^2 - 2h0 RI_w) = -t'_a * beta
+                # Tn_ab = -(n_a RI_b + d_ab RI_a^2 n_a)/RI^5
+                #         + 5 RI_a RI_b pIn / RI^7
+                wbI5 = w * beta * invRI5
+                wbI7 = wbI5 * invRI2
+                for i, (a, b) in enumerate(UT):
+                    acc(("kT5", i), wbI7 * 5.0 * RI[a] * RI[b] * pnI)
+                for a, b in ORD:
+                    acc(("kTnab", (a, b)), wbI5 * N[a] * RI[b])
+                for a in range(3):
+                    acc(("kTd", a), wbI5 * RI[a] * RI[a] * N[a])
+                # Un_ab = (n_b RI_a RI_w - d_aw RI_b pIn)/RI^5, weight 2h0
+                wU = w * 2.0 * h0p * invRI5
+                for a, b in ORD:
+                    acc(("kUab", (a, b)), wU * N[b] * RI[a] * RIw)
+                for b in range(3):
+                    acc(("kUw", b), wU * RI[b] * pnI)
 
     S = s_ref[...]  # [CJ*nq, CJ]
     dn = (((1,), (0,)), ((), ()))
@@ -187,23 +283,77 @@ def _node_kernel_t(
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    sdiag = qsum(pdiag)
+    q = {k: qsum(p) for k, p in acc_d.items()}
+    sgn = [(-1.0 if a == w_ax else 1.0) for a in range(3)]  # row sign s_a
+    cWn = jnp.asarray(3.0 / (4.0 * math.pi), dt)
     acc_v = [None] * 9
     acc_k = [None] * 9
     for i, (a, b) in enumerate(UT):
-        vab = qsum(pv[i])
+        vab = q[("v", i)]
+        kab = q[("k", i)]
         if a == b:
-            vab = vab + sdiag
-        # minus sign on K: exterior problem (reference `:2941-2947`)
-        kab = -qsum(pk[i])
-        acc_v[3 * a + b] = acc_v[3 * b + a] = vab
-        acc_k[3 * a + b] = acc_k[3 * b + a] = kab
+            vab = vab + q["vd"]
+        if kernel == "free_space":
+            acc_v[3 * a + b] = acc_v[3 * b + a] = vab
+            acc_k[3 * a + b] = acc_k[3 * b + a] = -kab
+            continue
+        vI = q[("vI", i)] + (q["vdI"] if a == b else 0.0)
+        kI = q[("kI", i)]
+        if kernel == "free_surface":
+            acc_v[3 * a + b] = vab + sgn[a] * vI
+            acc_v[3 * b + a] = vab + sgn[b] * vI
+            acc_k[3 * a + b] = -(kab + sgn[a] * kI)
+            acc_k[3 * b + a] = -(kab + sgn[b] * kI)
+    if kernel == "no_slip":
+        for a, b in ORD:
+            i_ut = UT.index((a, b) if a <= b else (b, a))
+            vab = q[("v", i_ut)] + (q["vd"] if a == b else 0.0)
+            # t_a = +1 on the wall row, -1 elsewhere (G corr);
+            # t'_a = -1 on the wall row, +1 elsewhere (Wn corr) = sgn[a]
+            t_a = 1.0 if a == w_ax else -1.0
+            vI = q[("vI", i_ut)] + (q["vdI"] if a == b else 0.0)
+            corr = -3.0 * q[("vD", i_ut)]
+            if a == b:
+                corr = corr + q["vDd"]
+            if a == w_ax:
+                corr = corr + q[("vSD", b)]
+            if b == w_ax:
+                corr = corr - q[("vSD", a)]
+            acc_v[3 * a + b] = vab - vI + t_a * corr
+            # Wn: base(p) is the free-space accumulation (cW scale), image
+            # and corrections carry the explicit cWn = 3/4pi scale
+            kab = q[("k", i_ut)]
+            kimg = cWn * q[("kI", i_ut)]
+            Tn = cWn * (
+                q[("kT5", i_ut)]
+                - q[("kTnab", (a, b))]
+                - (q[("kTd", a)] if a == b else 0.0)
+            )
+            Un = cWn * (
+                q[("kUab", (a, b))] - (q[("kUw", b)] if a == w_ax else 0.0)
+            )
+            # Wn_img = kimg + sgn[a] * (-beta*Tn_terms... ) — the beta/2h0
+            # weights are already folded into the planes: the accumulated
+            # kT*/kU* carry (2h0^2 - 2h0 RI_w) = -beta and 2h0 resp. via
+            # sign conventions handled here
+            acc_k[3 * a + b] = -(kab + kimg + sgn[a] * (-Tn - Un))
     v_ref[...] = jnp.stack(acc_v, axis=0)  # [9, T, CJ]
     k_ref[...] = jnp.stack(acc_k, axis=0)
 
 
 @partial(
-    jax.jit, static_argnames=("CJ", "nq", "vmax", "T", "interpret", "transposed")
+    jax.jit,
+    static_argnames=(
+        "CJ",
+        "nq",
+        "vmax",
+        "T",
+        "interpret",
+        "transposed",
+        "kernel",
+        "wall_axis",
+        "wall_position",
+    ),
 )
 def pallas_node_blocks(
     xi,  # [n_tiles*T, 3] padded collocation points
@@ -217,6 +367,9 @@ def pallas_node_blocks(
     T: int,
     interpret: bool = False,
     transposed: bool = False,
+    kernel: str = "free_space",
+    wall_axis: int = 1,
+    wall_position: float = 0.0,
 ):
     """Run the pairwise sweep over all (row tile, column chunk) programs.
 
@@ -237,7 +390,16 @@ def pallas_node_blocks(
     xi_tiles = xi.reshape(n_tiles, T, 3).transpose(0, 2, 1)
     tile_i = lambda i, k: (i, 0 * i, 0 * i)
     chunk_k = lambda i, k: (k, 0 * k, 0 * k, 0 * k)
-    kern = _node_kernel_t if transposed else _node_kernel
+    if kernel != "free_space":
+        assert transposed, "image kernels are implemented in the transposed layout"
+        kern = partial(
+            _node_kernel_t,
+            kernel=kernel,
+            wall_axis=wall_axis,
+            wall_position=wall_position,
+        )
+    else:
+        kern = _node_kernel_t if transposed else _node_kernel
     if transposed:
         out_ik = lambda i, k: (0 * i, i, k)
         out_block = (9, T, CJ)

@@ -46,7 +46,10 @@ class MassOperator:
     def lumped(self) -> jnp.ndarray:
         """Row-sum lumped mass [n]."""
         cells = jnp.asarray(self.cells_nodes)
-        phi = jnp.asarray(self.phi)
+        # pin to the geometry dtype: an unconverted f64 numpy table here
+        # silently promoted the whole normal solve (and through the V
+        # null-space correction the V operator itself) to f64 on f32 runs
+        phi = jnp.asarray(self.phi, self.jxw.dtype)
         rl = jnp.einsum("ql,cq->cl", phi, self.jxw)
         return jnp.zeros((self.n_nodes,), rl.dtype).at[cells.reshape(-1)].add(
             rl.reshape(-1)

@@ -141,6 +141,7 @@ class StokesBEMProblem:
             row_tile=self.cfg.row_tile,
             cell_chunk=self.cfg.cell_chunk,
             dtype=_dtype_of(self.cfg),
+            mixed_bulk=self.cfg.mixed_precision_bulk,
         )
         self.tables = build_assembly_tables(self.fe_space, self.map_space, self.asm_cfg)
 
@@ -236,6 +237,56 @@ class StokesBEMProblem:
         self._last_direct_iterations = 0
         self._jit_pipeline = jax.jit(self._pipeline)
         self._jit_frozen_rhs = jax.jit(self._frozen_rhs)
+        # jitted GMRES solvers with the operator (and any LU factors) as
+        # TRACED arguments: calling gmres eagerly per frame would bake the
+        # frame's matrices in as constants and recompile the Arnoldi scan on
+        # every solve (measured 12-21 s/frame on the TPU relay)
+        self._jit_gmres_direct = jax.jit(self._gmres_direct_impl)
+        self._jit_gmres_generic = jax.jit(self._gmres_generic_impl)
+
+    def _gmres_solver_params(self):
+        cfg = self.cfg
+        restart = cfg.solver.gmres_restart
+        max_restarts = max(1, -(-cfg.solver.max_steps // max(restart, 1)))
+        return restart, max_restarts
+
+    def _gmres_direct_impl(self, A, rhs, lu, piv):
+        restart, max_restarts = self._gmres_solver_params()
+        fdt = lu.dtype
+
+        def precond(v):
+            if v.dtype == fdt:
+                return jax.scipy.linalg.lu_solve((lu, piv), v)
+            return jax.scipy.linalg.lu_solve((lu, piv), v.astype(fdt)).astype(
+                v.dtype
+            )
+
+        return gmres(
+            lambda v: A @ v,
+            rhs,
+            precond=precond,
+            restart=restart,
+            tol=self.cfg.solver.tolerance,
+            max_restarts=max_restarts,
+        )
+
+    def _gmres_generic_impl(self, A, rhs):
+        from .la.preconditioners import build_preconditioner
+
+        cfg = self.cfg
+        restart, max_restarts = self._gmres_solver_params()
+        bw = cfg.solver.bandwith if cfg.solver.bandwith_preconditioner else None
+        precond = build_preconditioner(
+            A, cfg.solver.preconditioner_type, bandwith=bw
+        ).apply
+        return gmres(
+            lambda v: A @ v,
+            rhs,
+            precond=precond,
+            restart=restart,
+            tol=cfg.solver.tolerance,
+            max_restarts=max_restarts,
+        )
 
     # ------------------------------------------------------------------
     def initial_euler(self) -> jnp.ndarray:
@@ -470,11 +521,6 @@ class StokesBEMProblem:
                 iters = 1
             else:
                 ptype = cfg.solver.preconditioner_type
-                restart = cfg.solver.gmres_restart
-                # SolverControl semantics: at most max_steps Arnoldi steps
-                max_restarts = max(
-                    1, -(-cfg.solver.max_steps // max(restart, 1))
-                )
                 if ptype == "Direct":
                     # stale-LU: reuse the factors of an earlier frame; only
                     # refactor if the PREVIOUS solve exceeded the trigger
@@ -483,26 +529,10 @@ class StokesBEMProblem:
                         refactored = self.preconditioner.maybe_refactor(
                             A, self._last_direct_iterations
                         )
-                    precond = self.preconditioner.apply
+                    lu, piv = self.preconditioner._factors
+                    x, info = self._jit_gmres_direct(A, rhs, lu, piv)
                 else:
-                    from .la.preconditioners import build_preconditioner
-
-                    bw = (
-                        cfg.solver.bandwith
-                        if cfg.solver.bandwith_preconditioner
-                        else None
-                    )
-                    precond = build_preconditioner(
-                        A, ptype, bandwith=bw
-                    ).apply
-                x, info = gmres(
-                    lambda v: A @ v,
-                    rhs,
-                    precond=precond,
-                    restart=restart,
-                    tol=cfg.solver.tolerance,
-                    max_restarts=max_restarts,
-                )
+                    x, info = self._jit_gmres_generic(A, rhs)
                 iters = int(info["iterations"])
                 if ptype == "Direct":
                     self._last_direct_iterations = iters

@@ -241,29 +241,132 @@ def main():
                 ),
                 dtype="float64",
             )
-            t0 = time.perf_counter()
-            prob = StokesBEMProblem(acc_mesh, cfg)
-            res = prob.solve_frame(
-                prob.initial_euler(), jnp.zeros((3 * prob.n,), jnp.float64)
-            )
-            N_dual_flat = jax.vmap(flatten)(res["operators"]["N_dual"])
-            F = np.asarray(N_dual_flat @ res["stokes_forces"])
-            drag_rel_err = abs(abs(F[0]) - 6 * np.pi) / (6 * np.pi)
-            details["sphere_drag_rel_err"] = float(drag_rel_err)
+            def drag_run(cfg_v, tag):
+                t0 = time.perf_counter()
+                prob = StokesBEMProblem(acc_mesh, cfg_v)
+                res = prob.solve_frame(
+                    prob.initial_euler(),
+                    jnp.zeros((3 * prob.n,), jnp.float64),
+                )
+                N_dual_flat = jax.vmap(flatten)(res["operators"]["N_dual"])
+                F = np.asarray(N_dual_flat @ res["stokes_forces"])
+                err = abs(abs(F[0]) - 6 * np.pi) / (6 * np.pi)
+                wall = time.perf_counter() - t0
+                details[f"sphere_drag_rel_err{tag}"] = float(err)
+                details[f"accuracy_wall_s{tag}"] = wall
+                details[f"accuracy_gmres_iterations{tag}"] = res["iterations"]
+                print(
+                    f"sphere drag rel err{tag or ''}: {err:.2e} "
+                    f"({res['iterations']} f64 GMRES iters w/ f32-LU "
+                    f"precond, {wall:.0f}s)",
+                    file=sys.stderr,
+                )
+                return res
+
+            res = drag_run(cfg, "")
             details["accuracy_device"] = str(
                 jax.tree_util.tree_leaves(res["A"])[0].devices()
             )
-            details["accuracy_gmres_iterations"] = res["iterations"]
-            print(
-                f"sphere drag rel err: {drag_rel_err:.2e} on "
-                f"{details['accuracy_device']} "
-                f"({res['iterations']} f64 GMRES iters w/ f32-LU precond, "
-                f"{time.perf_counter()-t0:.0f}s)",
-                file=sys.stderr,
-            )
+            if on_tpu and os.environ.get("BENCH_MIXED", "1") == "1":
+                # mixed-precision accuracy path: f32 Pallas bulk + f64
+                # near/singular corrections (SURVEY 7.3)
+                import dataclasses as _dc
+
+                drag_run(
+                    _dc.replace(cfg, mixed_precision_bulk=True), "_mixed"
+                )
         except Exception as e:  # pragma: no cover
             details["sphere_drag_rel_err"] = None
             print(f"accuracy gate failed to run: {e}", file=sys.stderr)
+
+    # ---- swimmer frame-loop cost (the two remaining BASELINE validation
+    # configs with no perf numbers: the time-stepped bacterium gait with
+    # motor-torque balance, and the free-surface swimmer) ----
+    if os.environ.get("BENCH_SWIMMER", "1") == "1":
+        import shutil
+        import tempfile
+
+        from bemstokes_tpu.config import SolverConfig, WallConfig
+        from bemstokes_tpu.swimmer import SwimmerSimulation
+
+        # the TPU production configuration: f64 assembly with the f32 Pallas
+        # bulk (mixed_precision_bulk) and f64 GMRES under an f32-LU Direct
+        # preconditioner — full accuracy, MXU-speed bulk.  (Plain f32 LU is
+        # not enough: the monolithic motor-torque system overflows f32.)
+        sw_dtype = "float64"
+        sw_mixed = bool(on_tpu)
+        sw_solver = SolverConfig(
+            preconditioner_type="Direct",
+            preconditioner_dtype="float32" if on_tpu else "same",
+            tolerance=1e-8,
+        )
+
+        def run_frames(cfg, label, n_warm, n_timed):
+            out = tempfile.mkdtemp(prefix="bench_swimmer_")
+            try:
+                sim = SwimmerSimulation(cfg, output_dir=out)
+                t0 = time.perf_counter()
+                sim.run(0, n_warm)  # compile + first frames
+                t_first = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                sim.run(n_warm, n_warm + n_timed)
+                t_frames = (time.perf_counter() - t0) / n_timed
+                details[f"{label}_s_per_frame"] = t_frames
+                details[f"{label}_first_{n_warm}_frames_s"] = t_first
+                print(
+                    f"swimmer[{label}]: {t_frames*1e3:.0f} ms/frame "
+                    f"(first {n_warm} frames incl compile {t_first:.1f}s)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # pragma: no cover
+                details[f"{label}_s_per_frame"] = None
+                print(f"swimmer[{label}] failed: {e}", file=sys.stderr)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
+        # bacterium (head + flagellum frame meshes): gait rate solved from
+        # the motor-torque balance each frame, Forward integration — the
+        # reference's flagship `bacteria_traslation` flow as a timed loop
+        bact_cfg = ProblemConfig(
+            grid_type="Real",
+            force_pole="Origin",
+            input_grid_path="/root/reference/tests/grid_test/",
+            input_grid_base_name="bacterium_",
+            input_grid_format="msh",
+            solve_with_torque=True,
+            consider_rigid_displacements=True,
+            rigid_displacement_axes=(True, True, True),
+            n_frames=3,
+            time_step=0.05,
+            solver=sw_solver,
+            dtype=sw_dtype,
+            mixed_precision_bulk=sw_mixed,
+        )
+        run_frames(bact_cfg, "bacterium_gait", n_warm=1, n_timed=2)
+
+        # free-surface swimmer: sphere-translation gait under the
+        # free-surface image kernel (wall 0 = image plane only), Heun
+        fs_cfg = ProblemConfig(
+            grid_type="Real",
+            force_pole="Origin",
+            n_frames=2,
+            input_grid_path="/root/reference/tests/grid_test/",
+            input_grid_base_name="sphere_translation_",
+            input_grid_format="msh",
+            reflect_kernel=True,
+            walls=(
+                WallConfig(
+                    enabled=False,
+                    position=(0.0, -4.0, 0.0),
+                    span=(10.0, 0.0, 10.0),
+                ),
+            ),
+            time_integration="Heun",
+            solver=sw_solver,
+            dtype=sw_dtype,
+            mixed_precision_bulk=sw_mixed,
+        )
+        run_frames(fs_cfg, "free_surface_swimmer_heun", n_warm=1, n_timed=1)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

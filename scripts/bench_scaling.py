@@ -96,6 +96,18 @@ def measure(ndev, refine, dtype):
     x = jnp.ones((3 * n,), dtype)
     mv = jax.jit(lambda A, v: sharded_matvec(A, v, dmesh))
     t_mv = _timed(mv, V, x, reps=10)
+    # overlap comparison (BASELINE north star): explicit ppermute-ring
+    # formulation vs the all-gather matvec on the same operands
+    from bemstokes_tpu.parallel.sharded import (
+        flat_to_slab,
+        sharded_matvec_ring,
+    )
+    from bemstokes_tpu.parallel.lu import slab_reorder_columns
+
+    A2 = slab_reorder_columns(V, n, 3, dmesh)
+    x_slab = flat_to_slab(x, n, 3, dmesh)
+    mv_ring = jax.jit(lambda A, v: sharded_matvec_ring(A, v, dmesh))
+    t_ring = _timed(mv_ring, A2, x_slab, reps=10)
     pairs = float(n) * float(Nc)
     return dict(
         ndev=ndev,
@@ -103,6 +115,7 @@ def measure(ndev, refine, dtype):
         panels=Nc,
         pairs_per_s=pairs / t_asm,
         matvec_gflops=2.0 * (3.0 * n) * (V.shape[0]) / t_mv / 1e9,
+        matvec_ring_gflops=2.0 * (3.0 * n) * (V.shape[0]) / t_ring / 1e9,
     )
 
 

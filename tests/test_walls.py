@@ -110,3 +110,22 @@ def test_sphere_in_box_solid_angle_and_solve(reference_grid_dir):
     # is still the imposed translation to a few percent
     assert abs(U[0] - exact) / exact < 5e-2, (U, exact)
     assert res["residual"] < 1e-8
+
+
+def test_cylinder_apply_manifold_gate():
+    """cylinder.apply_manifold gates the CylindricalManifold snap during
+    refinement (reference `cylinder_manifold_bool`,
+    `source/bem_stokes.cc:334, 794-806`)."""
+    import numpy as np
+    from bemstokes_tpu.mesh.factories import create_cylindrical_wall
+
+    on = create_cylindrical_wall(
+        radius=1.0, height=2.0, refinements=1, apply_manifold=True
+    )
+    off = create_cylindrical_wall(
+        radius=1.0, height=2.0, refinements=1, apply_manifold=False
+    )
+    r_on = np.linalg.norm(on.vertices[:, :2], axis=1)
+    r_off = np.linalg.norm(off.vertices[:, :2], axis=1)
+    assert np.allclose(r_on, 1.0, atol=1e-12)  # snapped onto the cylinder
+    assert np.min(r_off) < 1.0 - 1e-3  # chord midpoints stay inside
