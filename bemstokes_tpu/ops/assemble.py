@@ -608,8 +608,10 @@ def _assemble_rows_node(
         # that is CJ in the default rows_lane [9, rows, cols] layout and T
         # in the rows_sublane [9, cols, rows] layout — keep BOTH at
         # multiples of 128 when retuning tile sizes.
-        T = 128
-        CJ = 128
+        import os as _os
+
+        T = int(_os.environ.get("BEMSTOKES_PALLAS_T", "128"))
+        CJ = int(_os.environ.get("BEMSTOKES_PALLAS_CJ", "128"))
         # mixed-precision: f32 bulk sweep under an f64 assembly (the
         # corrections below stay f64); plain runs keep the assembly dtype
         bulk_dt = (
@@ -640,8 +642,6 @@ def _assemble_rows_node(
         W_b = W3.reshape(ncj, CJ, vmax, nq).transpose(0, 2, 1, 3).reshape(
             ncj, vmax, 1, CJ * nq
         )
-        import os as _os
-
         transposed = (
             _os.environ.get("BEMSTOKES_PALLAS_NODE_LAYOUT", "rows_lane")
             != "rows_sublane"

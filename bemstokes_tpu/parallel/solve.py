@@ -241,6 +241,12 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
       reference `source/bem_stokes.cc:5787-5835`).
     """
     cfg = problem.cfg
+    if cfg.solve_with_torque:
+        raise NotImplementedError(
+            "solve_with_torque (motor-torque balance) is single-chip only; "
+            "the distributed step covers the rigid tail but not the extra "
+            "torque row/column"
+        )
     tables = problem.tables
     d = problem.dim
     n = problem.n

@@ -135,6 +135,10 @@ def main():
             quad_order=4,
             quad_order_far=2 if adaptive else None,
             near_panels=64,
+            # tile-size sweeps (scripts/tune_assembly.py) show the same jax
+            # config varying 259-421 ms run-to-run on the relay — the
+            # r1->r2 "regression" (305->330 ms) is inside that noise band;
+            # rt=256 is the long-tested operating point
             row_tile=min(256, n),
             cell_chunk=min(512 if backend == "jax" else 64, Nc),
             dtype=dtype,

@@ -1,0 +1,112 @@
+"""One-claim assembly tuning sweep on the real chip: times the XLA gather
+path and the Pallas node kernel over tile-size variants, to (a) chase the
+r1->r2 ~8% XLA-path regression and (b) find Pallas headroom.
+
+    python scripts/tune_assembly.py            # on the TPU
+    BENCH_REFINE=3 python scripts/tune_assembly.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from bemstokes_tpu.mesh import read_mesh, build_scalar_space
+from bemstokes_tpu.mesh.refine import refine_uniform, SphericalManifold
+from bemstokes_tpu.fem.geometry import euler_from_mesh, support_points
+from bemstokes_tpu.ops import AssemblyConfig, build_assembly_tables, assemble_V_K
+
+
+def main():
+    refine = int(os.environ.get("BENCH_REFINE", "3"))
+    mesh = read_mesh(
+        "/root/reference/tests/grid_test/sphere_translation_0.msh", dim=3
+    )
+    mesh = refine_uniform(mesh, SphericalManifold(), times=refine)
+    space = build_scalar_space(mesh, 1)
+    n, Nc = space.n_nodes, mesh.n_cells
+    dtype = jnp.float32
+    euler = jnp.asarray(euler_from_mesh(mesh.vertices, space), dtype)
+    print(f"{n} nodes, {Nc} panels on {jax.devices()[0]}", flush=True)
+    pairs = float(n) * float(Nc)
+
+    def timed_loop(tables):
+        sp = support_points(euler, space, space)
+
+        @jax.jit
+        def run(e, s, k):
+            def body(i, carry):
+                V, K = carry
+                e_i = e + jnp.asarray(1e-30, dtype) * V[0, 0]
+                return assemble_V_K(e_i, s, tables)
+
+            return jax.lax.fori_loop(0, k, body, assemble_V_K(e, s, tables))
+
+        def t(k):
+            out = run(euler, sp, k)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            t0 = time.perf_counter()
+            out = run(euler, sp, k)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            return time.perf_counter() - t0
+
+        t(0)  # compile
+        return max((t(4) - t(1)) / 3, 1e-9)
+
+    # XLA gather path: tile-size sweep
+    for row_tile, cell_chunk in ((512, 512), (1024, 512), (512, 1024), (1024, 1024)):
+        cfg = AssemblyConfig(
+            quad_order=4,
+            row_tile=min(row_tile, n),
+            cell_chunk=min(cell_chunk, Nc),
+            dtype=dtype,
+            backend="jax",
+        )
+        tables = build_assembly_tables(space, space, cfg)
+        dt_s = timed_loop(tables)
+        print(
+            f"jax rt={row_tile} cc={cell_chunk}: {dt_s*1e3:.1f} ms "
+            f"{pairs/dt_s:.3e} pairs/s",
+            flush=True,
+        )
+
+    # Pallas node kernel: T/CJ sweep (program tile shape)
+    for T, CJ in ((128, 128), (256, 128), (128, 256), (256, 256), (512, 128)):
+        os.environ["BEMSTOKES_PALLAS_T"] = str(T)
+        os.environ["BEMSTOKES_PALLAS_CJ"] = str(CJ)
+        cfg = AssemblyConfig(
+            quad_order=4,
+            row_tile=min(256, n),
+            cell_chunk=min(64, Nc),
+            dtype=dtype,
+            backend="pallas",
+            column_mode="node",
+        )
+        tables = build_assembly_tables(space, space, cfg)
+        try:
+            dt_s = timed_loop(tables)
+            print(
+                f"pallas T={T} CJ={CJ}: {dt_s*1e3:.1f} ms "
+                f"{pairs/dt_s:.3e} pairs/s",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"pallas T={T} CJ={CJ}: failed {str(e)[:200]}", flush=True)
+    for k in ("BEMSTOKES_PALLAS_T", "BEMSTOKES_PALLAS_CJ"):
+        os.environ.pop(k, None)
+
+
+if __name__ == "__main__":
+    main()
