@@ -77,6 +77,12 @@ class AssemblyConfig:
     # bulk + fixed-size irregular correction).  None = single-pass.
     quad_order_far: int | None = None
     near_panels: int = 32
+    # near-panel selection for the correction pass: "exact" = lax.top_k on
+    # the squared distances (slow on TPU at O(N) candidates per row);
+    # "approx" = lax.approx_min_k (the TPU-native partial reduction,
+    # recall ~0.95+) — missing a borderline panel leaves it at the far rule,
+    # a quadrature-grading heuristic either way
+    near_selector: str = "exact"  # exact | approx
     singular_quadrature_order: int = 5
     singular_quadrature_type: str = "Mixed"  # Mixed | Duffy | Telles
     row_tile: int = 32  # collocation nodes per tile
@@ -794,7 +800,11 @@ def _add_near_corrections(V, K, euler, support_pts, xi, node_ids, tables, nr):
     d2 = jnp.sum(
         (xi[:, None, :].astype(dt) - centers[None, :, :]) ** 2, axis=-1
     )  # [nr, Nc]
-    _, near = jax.lax.top_k(-d2, Kn)  # [nr, Kn] panel indices
+    if cfg.near_selector == "approx":
+        _, near = jax.lax.approx_min_k(d2, Kn, recall_target=0.95)
+    else:
+        _, near = jax.lax.top_k(-d2, Kn)  # [nr, Kn] panel indices
+    near = near.astype(jnp.int32)
 
     lo_rule = (tables.q_weights, tables.phi_map, tables.dphi_map, tables.phi_fe)
     hi_rule = (tables.hq_weights, tables.hphi_map, tables.hdphi_map, tables.hphi_fe)

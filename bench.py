@@ -125,9 +125,11 @@ def main():
         return time.perf_counter() - t0, out
 
     # adaptive two-level quadrature is accuracy-pinned by
-    # tests/test_adaptive_quadrature but its gathered near-pair scatter costs
-    # ~400 ms at this shape on the relay — slower than just running the dense
-    # pass at full order, so it is opt-in here
+    # tests/test_adaptive_quadrature but stays opt-in: the near-pair
+    # correction is SCATTER-bound on TPU (~14M scatter-adds; measured
+    # 540-730 ms total vs 178-330 ms single-pass at the 6k shape, with
+    # selection itself only 9-34 ms — scripts/tune_adaptive.py), so the
+    # dense full-order pass wins whenever the operator is materialized
     adaptive = os.environ.get("BENCH_ADAPTIVE", "0") == "1"
 
     def measure_backend(backend, column_mode="gather"):
