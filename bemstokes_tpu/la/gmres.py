@@ -51,8 +51,7 @@ def gmres(
     b_norm = jnp.linalg.norm(b)
     atol = tol * jnp.where(b_norm == 0, 1.0, b_norm)
 
-    def arnoldi_cycle(x):
-        r = b - matvec(x)
+    def arnoldi_cycle(x, r):
         beta = jnp.linalg.norm(r)
 
         V = jnp.zeros((m + 1, n), dt)
@@ -119,20 +118,26 @@ def gmres(
         return x + dx, jnp.abs(g[k]), k
 
     def cond(carry):
-        _, _, res, c = carry
+        _, _, _, res, c = carry
         return jnp.logical_and(c < max_restarts, res > atol)
 
     def body(carry):
-        x, total_it, _, c = carry
-        x, _, k = arnoldi_cycle(x)
+        x, r, total_it, _, c = carry
+        x, _, k = arnoldi_cycle(x, r)
         # restart on the TRUE residual: the in-cycle Givens estimate drifts
         # from it under finite precision (especially with the f32-LU
         # preconditioner under f64 iteration), and the estimate deciding the
-        # outer exit would stop at a less-converged solution
-        res = jnp.linalg.norm(b - matvec(x))
-        return x, (total_it + k).astype(jnp.int32), res, c + 1
+        # outer exit would stop at a less-converged solution.  The residual
+        # VECTOR is carried into the next cycle so the check costs no extra
+        # matvec beyond the one each cycle needs anyway.
+        r = b - matvec(x)
+        res = jnp.linalg.norm(r)
+        return x, r, (total_it + k).astype(jnp.int32), res, c + 1
 
-    x, iters, res, _ = jax.lax.while_loop(
-        cond, body, (x0, jnp.int32(0), b_norm, jnp.int32(0))
+    r0 = b - matvec(x0)
+    x, _, iters, res, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, r0, jnp.int32(0), jnp.linalg.norm(r0), jnp.int32(0)),
     )
     return x, {"residual": res, "iterations": iters}

@@ -111,6 +111,12 @@ class AssemblyConfig:
     # - "pallas_interpret": the Pallas kernel in interpreter mode (CPU
     #   testing of the exact kernel semantics).
     backend: str = "auto"
+    # Pallas node-kernel program tile (rows x column-nodes per program).
+    # BOTH must be multiples of 128 (Mosaic lane tiling: CJ is the lane dim
+    # in the default rows_lane layout, T in rows_sublane); T=CJ=128 measured
+    # best on v5e (scripts/tune_assembly.py; 256+ hits Mosaic limits)
+    pallas_row_tile: int = 128
+    pallas_col_chunk: int = 128
     # mixed-precision accuracy path: with dtype float64, run the O(N^2)
     # smooth BULK pass in f32 through the fused Pallas kernel and keep the
     # near-panel + singular corrections (and everything downstream) in f64.
@@ -616,8 +622,13 @@ def _assemble_rows_node(
         # multiples of 128 when retuning tile sizes.
         import os as _os
 
-        T = int(_os.environ.get("BEMSTOKES_PALLAS_T", "128"))
-        CJ = int(_os.environ.get("BEMSTOKES_PALLAS_CJ", "128"))
+        T = cfg.pallas_row_tile
+        CJ = cfg.pallas_col_chunk
+        if T % 128 or CJ % 128:
+            raise ValueError(
+                f"pallas_row_tile/pallas_col_chunk must be multiples of 128 "
+                f"(Mosaic lane tiling), got {T}/{CJ}"
+            )
         # mixed-precision: f32 bulk sweep under an f64 assembly (the
         # corrections below stay f64); plain runs keep the assembly dtype
         bulk_dt = (

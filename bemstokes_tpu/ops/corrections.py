@@ -80,7 +80,7 @@ def k_solid_angle_correction(
             ],
             axis=-1,
         )
-        alpha = jnp.asarray(component_alpha)  # [n]
+        alpha = jnp.asarray(component_alpha, K.dtype)  # [n]
     i = jnp.arange(n)
     rows = (jnp.arange(d)[:, None, None] * n + i[None, None, :])  # [d,1,n]
     cols = (jnp.arange(d)[None, :, None] * n + i[None, None, :])  # [1,d,n]

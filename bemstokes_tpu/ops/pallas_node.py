@@ -179,11 +179,7 @@ def _node_kernel_t(
 
     UT = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
     ORD = tuple((a, b) for a in range(3) for b in range(3))
-
-    class P:  # accumulated plane sets, keyed
-        pass
-
-    acc_d = {}
+    acc_d = {}  # accumulated [T, CJ*nq] plane per key
 
     def acc(key, new):
         acc_d[key] = new if key not in acc_d else acc_d[key] + new
@@ -288,7 +284,7 @@ def _node_kernel_t(
     cWn = jnp.asarray(3.0 / (4.0 * math.pi), dt)
     acc_v = [None] * 9
     acc_k = [None] * 9
-    for i, (a, b) in enumerate(UT):
+    for i, (a, b) in enumerate(UT) if kernel != "no_slip" else ():
         vab = q[("v", i)]
         kab = q[("k", i)]
         if a == b:
@@ -297,9 +293,9 @@ def _node_kernel_t(
             acc_v[3 * a + b] = acc_v[3 * b + a] = vab
             acc_k[3 * a + b] = acc_k[3 * b + a] = -kab
             continue
-        vI = q[("vI", i)] + (q["vdI"] if a == b else 0.0)
-        kI = q[("kI", i)]
         if kernel == "free_surface":
+            vI = q[("vI", i)] + (q["vdI"] if a == b else 0.0)
+            kI = q[("kI", i)]
             acc_v[3 * a + b] = vab + sgn[a] * vI
             acc_v[3 * b + a] = vab + sgn[b] * vI
             acc_k[3 * a + b] = -(kab + sgn[a] * kI)

@@ -70,7 +70,11 @@ def slab_solid_angle_correction(
     d = dim
     _, nloc = padded_rows(n, mesh)
     lab = None if component_labels is None else jnp.asarray(component_labels)
-    alp = None if component_alpha is None else jnp.asarray(component_alpha)
+    alp = (
+        None
+        if component_alpha is None
+        else jnp.asarray(component_alpha, K_slab.dtype)
+    )
 
     @partial(
         shard_map,

@@ -273,17 +273,22 @@ def main():
             details["accuracy_device"] = str(
                 jax.tree_util.tree_leaves(res["A"])[0].devices()
             )
-            if on_tpu and os.environ.get("BENCH_MIXED", "1") == "1":
-                # mixed-precision accuracy path: f32 Pallas bulk + f64
-                # near/singular corrections (SURVEY 7.3)
+        except Exception as e:  # pragma: no cover
+            details["sphere_drag_rel_err"] = None
+            print(f"accuracy gate failed to run: {e}", file=sys.stderr)
+        if on_tpu and os.environ.get("BENCH_MIXED", "1") == "1":
+            # mixed-precision accuracy path: f32 Pallas bulk + f64
+            # near/singular corrections (SURVEY 7.3) — its own guard so a
+            # failure here cannot clobber the recorded plain-run gate
+            try:
                 import dataclasses as _dc
 
                 drag_run(
                     _dc.replace(cfg, mixed_precision_bulk=True), "_mixed"
                 )
-        except Exception as e:  # pragma: no cover
-            details["sphere_drag_rel_err"] = None
-            print(f"accuracy gate failed to run: {e}", file=sys.stderr)
+            except Exception as e:  # pragma: no cover
+                details["sphere_drag_rel_err_mixed"] = None
+                print(f"mixed accuracy path failed: {e}", file=sys.stderr)
 
     # ---- swimmer frame-loop cost (the two remaining BASELINE validation
     # configs with no perf numbers: the time-stepped bacterium gait with

@@ -84,8 +84,6 @@ def main():
 
     # Pallas node kernel: T/CJ sweep (program tile shape)
     for T, CJ in ((128, 128), (256, 128), (128, 256), (256, 256), (512, 128)):
-        os.environ["BEMSTOKES_PALLAS_T"] = str(T)
-        os.environ["BEMSTOKES_PALLAS_CJ"] = str(CJ)
         cfg = AssemblyConfig(
             quad_order=4,
             row_tile=min(256, n),
@@ -93,6 +91,8 @@ def main():
             dtype=dtype,
             backend="pallas",
             column_mode="node",
+            pallas_row_tile=T,
+            pallas_col_chunk=CJ,
         )
         tables = build_assembly_tables(space, space, cfg)
         try:
@@ -104,8 +104,6 @@ def main():
             )
         except Exception as e:
             print(f"pallas T={T} CJ={CJ}: failed {str(e)[:200]}", flush=True)
-    for k in ("BEMSTOKES_PALLAS_T", "BEMSTOKES_PALLAS_CJ"):
-        os.environ.pop(k, None)
 
 
 if __name__ == "__main__":
