@@ -243,6 +243,7 @@ class StokesBEMProblem:
         # every solve (measured 12-21 s/frame on the TPU relay)
         self._jit_gmres_direct = jax.jit(self._gmres_direct_impl)
         self._jit_gmres_generic = jax.jit(self._gmres_generic_impl)
+        self._jit_finish = jax.jit(self._finish_impl)
 
     def _gmres_solver_params(self):
         cfg = self.cfg
@@ -268,6 +269,56 @@ class StokesBEMProblem:
             restart=restart,
             tol=self.cfg.solver.tolerance,
             max_restarts=max_restarts,
+        )
+
+    def _finish_impl(
+        self,
+        A,
+        x,
+        rhs,
+        sel_V,
+        diag,
+        N_dual_flat,
+        N_dual_c_flat,
+        torque_dual,
+        solver_iters,
+        solver_res,
+    ):
+        """Post-solve bookkeeping fused into ONE dispatch with ONE packed
+        scalar vector to read back (each host readback through the TPU
+        relay costs a full RPC round trip; the frame loop used to pay ~10).
+
+        Packed layout: [residual, |rhs|, rigid (R), mass, com (d),
+        v_null_pre, k_check (d), F (R), F_complete (R), iters, gmres_res]
+        (+ [omega] with the torque unknown, + [motor_torque] whenever the
+        flagellum torque dual exists — imposed-rotation runs report the
+        transmitted torque too, reference `:4374-4384`)."""
+        cfg = self.cfg
+        x_main = x[:-1] if cfg.solve_with_torque else x
+        forces, wall_vel, rigid_vel = split_monolithic_solution(
+            x_main, sel_V, self.num_rigid, cfg.assemble_scaling
+        )
+        F = N_dual_flat @ forces  # rigid forces at the pole (`:4466-4476`)
+        F_c = N_dual_c_flat @ forces
+        parts = [
+            jnp.linalg.norm(A @ x - rhs)[None],
+            jnp.linalg.norm(rhs)[None],
+            rigid_vel,
+            diag["mass_body"][None],
+            diag["com_body"],
+            diag["v_null_residual_pre"][None],
+            diag["k_solid_angle_check"],
+            F,
+            F_c,
+            solver_iters[None],
+            solver_res[None],
+        ]
+        if cfg.solve_with_torque:
+            parts += [(x[-1] * cfg.assemble_scaling)[None]]
+        if torque_dual is not None:
+            parts += [jnp.dot(torque_dual, forces)[None]]
+        return forces, wall_vel, jnp.concatenate(
+            [jnp.asarray(p, A.dtype) for p in parts]
         )
 
     def _gmres_generic_impl(self, A, rhs):
@@ -513,12 +564,14 @@ class StokesBEMProblem:
         from .utils import timers
 
         cfg = self.cfg
+        d = self.dim
+        R = self.num_rigid
         refactored = False
-        converged = True
         with timers.scope("LAC Solve"):
             if cfg.solver.solve_directly:
                 x = lu_solve_dense(lu_factor_dense(A), rhs)
-                iters = 1
+                it_dev = jnp.ones((), A.dtype)
+                res_dev = jnp.zeros((), A.dtype)
             else:
                 ptype = cfg.solver.preconditioner_type
                 if ptype == "Direct":
@@ -533,54 +586,93 @@ class StokesBEMProblem:
                     x, info = self._jit_gmres_direct(A, rhs, lu, piv)
                 else:
                     x, info = self._jit_gmres_generic(A, rhs)
-                iters = int(info["iterations"])
-                if ptype == "Direct":
-                    self._last_direct_iterations = iters
-                b_norm = float(jnp.linalg.norm(rhs))
-                converged = float(info["residual"]) <= cfg.solver.tolerance * (
-                    b_norm if b_norm > 0 else 1.0
-                ) * 1.0001
-                if not converged:
-                    import warnings
+                it_dev = info["iterations"]
+                res_dev = info["residual"]
 
-                    warnings.warn(
-                        f"GMRES did not converge in {iters} iterations "
-                        f"(residual {float(info['residual']):.3e}, "
-                        f"max_steps {cfg.solver.max_steps})",
-                        stacklevel=2,
-                    )
-            jax.block_until_ready(x)
+            # ONE fused finish dispatch + ONE packed host readback for every
+            # per-frame scalar (iterations, residuals, rigid velocities,
+            # diagnostics, rigid force sums, motor torque).  ops carries the
+            # torque dual for imposed-rotation runs too; only the
+            # solve_with_torque system has the extra unknown to strip
+            torque_dual = ops.get("N_flagellum_torque_dual")
+            forces, wall_vel, packed_dev = self._jit_finish(
+                A,
+                x,
+                rhs,
+                ops["sel_V"],
+                diag,
+                jax.vmap(flatten)(ops["N_dual"]),
+                jax.vmap(flatten)(ops["N_dual_complete"]),
+                torque_dual,
+                jnp.asarray(it_dev, A.dtype),
+                jnp.asarray(res_dev, A.dtype),
+            )
+            packed = np.asarray(packed_dev)
 
-        residual = jnp.linalg.norm(A @ x - rhs)
-        x_main = x
+        # unpack (layout documented on _finish_impl)
+        o = 0
+
+        def take(k):
+            nonlocal o
+            out = packed[o : o + k]
+            o += k
+            return out
+
+        residual = float(take(1)[0])
+        b_norm = float(take(1)[0])
+        rigid_vel = take(R)
+        host_diag = dict(
+            mass_body=take(1)[0],
+            com_body=take(d),
+            v_null_residual_pre=take(1)[0],
+            k_solid_angle_check=take(d),
+        )
+        F_pole = take(R)
+        F_complete = take(R)
+        iters = int(take(1)[0])
+        gmres_res = float(take(1)[0])
+
+        converged = True
+        if not cfg.solver.solve_directly:
+            if cfg.solver.preconditioner_type == "Direct":
+                self._last_direct_iterations = iters
+            converged = gmres_res <= cfg.solver.tolerance * (
+                b_norm if b_norm > 0 else 1.0
+            ) * 1.0001
+            if not converged:
+                import warnings
+
+                warnings.warn(
+                    f"GMRES did not converge in {iters} iterations "
+                    f"(residual {gmres_res:.3e}, "
+                    f"max_steps {cfg.solver.max_steps})",
+                    stacklevel=2,
+                )
+
         extra = {}
         if cfg.solve_with_torque:
             # the motor-balance unknown: flagellum rotation rate omega
             # (reference `:4398-4410`); the effective gait velocity is
             # omega * N_flagellum_torque
-            flagellum_omega = float(x[-1]) * cfg.assemble_scaling
-            x_main = x[:-1]
+            flagellum_omega = float(take(1)[0])
             extra["flagellum_omega"] = flagellum_omega
             extra["shape_velocities"] = (
                 flagellum_omega * ops["N_flagellum_torque"]
             )
-        forces, wall_vel, rigid_vel = split_monolithic_solution(
-            x_main, ops["sel_V"], self.num_rigid, cfg.assemble_scaling
-        )
         if "N_flagellum_torque_dual" in ops:
             # motor torque actually transmitted (reference `:4374`)
-            extra["motor_torque"] = float(
-                jnp.dot(ops["N_flagellum_torque_dual"], forces)
-            )
+            extra["motor_torque"] = float(take(1)[0])
         return dict(
             stokes_forces=forces,
             wall_velocities=wall_vel,
-            rigid_velocities=np.asarray(rigid_vel),
+            rigid_velocities=rigid_vel,
+            rigid_forces_pole=F_pole,
+            rigid_forces_complete=F_complete,
             iterations=iters,
             converged=converged,
             refactored=refactored,
-            residual=float(residual),
-            diagnostics={k: np.asarray(v) for k, v in diag.items()},
+            residual=residual,
+            diagnostics=host_diag,
             operators=ops,
             A=A,
             rhs=rhs,

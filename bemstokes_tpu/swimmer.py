@@ -441,12 +441,18 @@ class SwimmerSimulation:
         # origin_velocities.txt rows "F_r U_origin_r" (`:4496-4506`),
         # center_of_mass_position.txt "frame com" (`:2777-2784`),
         # motor_torque.txt (`:4375-4384`)
-        ops = res["operators"]
-        N_dual = np.asarray(ops["N_dual"])  # [R, n, d]
-        N_dual_c = np.asarray(ops["N_dual_complete"])
-        ff = np.asarray(unflatten(forces_flat, d))  # [n, d]
-        F = np.einsum("rnd,nd->r", N_dual, ff)
-        F_c = np.einsum("rnd,nd->r", N_dual_c, ff)
+        if "rigid_forces_pole" in res:
+            # computed on device inside the fused solve finish (no extra
+            # [R, n, d] host pulls per frame)
+            F = np.asarray(res["rigid_forces_pole"])
+            F_c = np.asarray(res["rigid_forces_complete"])
+        else:  # resistance-strategy results
+            ops_ = res["operators"]
+            N_dual = np.asarray(ops_["N_dual"])  # [R, n, d]
+            N_dual_c = np.asarray(ops_["N_dual_complete"])
+            ff = np.asarray(unflatten(forces_flat, d))  # [n, d]
+            F = np.einsum("rnd,nd->r", N_dual, ff)
+            F_c = np.einsum("rnd,nd->r", N_dual_c, ff)
         U_origin = self._origin_velocities(U, res)
         with open(os.path.join(self.out, "point_velocities.txt"), "a") as f:
             for r in range(self.problem.num_rigid):
