@@ -148,6 +148,30 @@ class ProblemConfig:
     two_spheres: bool = False
     spheres_distance: float = 2.2
     extra_debug_info: bool = False
+    # dump the assembled operators as txt files each solve (reference
+    # `print_matrices`, `source/bem_stokes.cc:3362-3430`: monolithic/V/K/
+    # mass/normals into the working directory)
+    print_matrices: bool = False
+    # Galerkin double-integral assembly: the reference ships it gutted
+    # ("just experimental ... not fit for real simulations",
+    # `include/bem_stokes.h:230-233`; body commented out) — parsed for .prm
+    # parity, enabling it raises
+    galerkin: bool = False
+    # declared-but-dead in the reference (its `rotation_correction` member
+    # has zero readers) — parsed for .prm parity
+    rotation_correction: bool = False
+    # reference calls GridTools::remove_anisotropy on read meshes
+    # (`source/bem_stokes.cc:662, 2305`); this refiner only ever performs
+    # isotropic quad splits, so the pass is a structural no-op here
+    remove_tria_anisotropies: bool = False
+    # extra VTU patch subdivisions (reference DataOut build_patches degree +
+    # n_subdivisions, `:5219`); patches here always render at FE-degree
+    # resolution (= the reference default n_subdivisions 0)
+    n_subdivisions: int = 0
+    # iges CAD manifolds are OCE-gated in the reference (`:532-578`); no CAD
+    # kernel here (see mesh/io.py), parsed for .prm parity
+    apply_iges_to_frame: bool = False
+    apply_iges_to_reference: bool = False
     # numerics
     dtype: str = "float64"
     row_tile: int = 32

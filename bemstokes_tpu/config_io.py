@@ -116,6 +116,24 @@ PRM_MAP = {
     "Perform 2 sphere analysis": ("two_spheres", _to_bool),
     "Distance for the 2 sphere analysis": ("spheres_distance", float),
     "Print extra debug information": ("extra_debug_info", _to_bool),
+    "Scaling for monolithic assembling": ("assemble_scaling", float),
+    "Squirmer change the geometry during the stroke": (
+        "squirmer_change_geometry",
+        _to_bool,
+    ),
+    "Save matrices as txt files": ("print_matrices", _to_bool),
+    "Galerkin Resolution Strategy": ("galerkin", _to_bool),
+    "Apply a correction for rigid rotations": ("rotation_correction", _to_bool),
+    "Load and save refinement history in the code": (
+        "remove_tria_anisotropies",
+        _to_bool,
+    ),
+    "Number of subdivisions": ("n_subdivisions", int),
+    "Apply iges manifold to frame tria": ("apply_iges_to_frame", _to_bool),
+    "Apply iges manifold to reference tria": (
+        "apply_iges_to_reference",
+        _to_bool,
+    ),
 }
 
 # deal.II SolverControl subsection "Solver" (reference `:470-472`)

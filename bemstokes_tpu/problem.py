@@ -211,6 +211,15 @@ class StokesBEMProblem:
                     "close the map along hanging edges; use map_degree=1 "
                     "otherwise"
                 )
+        if self.cfg.galerkin:
+            # the reference ships the Galerkin strategy gutted ("just
+            # experimental ... not fit for real simulations",
+            # `include/bem_stokes.h:230-233`; `assemble_stokes_system_
+            # galerkin` is ~410 commented lines + a stub)
+            raise NotImplementedError(
+                "the Galerkin resolution strategy is dead experimental code "
+                "in the reference; use the (default) collocation assembly"
+            )
         if (
             self.cfg.solver.preconditioner_type == "Direct"
             and self.cfg.solver.bandwith_preconditioner
@@ -521,7 +530,35 @@ class StokesBEMProblem:
                 euler, shape_velocities_flat, rotation
             )
             jax.block_until_ready(A)
+        if cfg.print_matrices:
+            self._dump_matrices(A, ops)
         return self._solve_monolithic_system(A, rhs, ops, diag)
+
+    def _dump_matrices(self, A, ops, out_dir="."):
+        """Txt dumps of the assembled operators (reference `print_matrices`,
+        `source/bem_stokes.cc:3362-3430`: monolithic_matrix.txt,
+        V_matrix.txt, K_matrix.txt, Mass_matrix.txt, normals_matrix.txt
+        written into the working directory)."""
+        import os
+
+        np.savetxt(os.path.join(out_dir, "monolithic_matrix.txt"), np.asarray(A))
+        np.savetxt(os.path.join(out_dir, "V_matrix.txt"), np.asarray(ops["V"]))
+        np.savetxt(os.path.join(out_dir, "K_matrix.txt"), np.asarray(ops["K"]))
+        np.savetxt(
+            os.path.join(out_dir, "normals_matrix.txt"),
+            np.asarray(ops["normal"]["normal"]),
+        )
+        # dense consistent mass (operator-form internally; materialized only
+        # under this debug flag)
+        eye = jnp.eye(self.n, dtype=self.asm_cfg.dtype)
+        jxw = ops["mass_jxw"]
+        from .physics.rigid import MassOperator
+
+        mop = MassOperator(
+            self.n, self.tables.cells_nodes_fe, self.tables.phi_fe, jxw
+        )
+        M = jax.vmap(lambda col: mop.matvec(col))(eye)
+        np.savetxt(os.path.join(out_dir, "Mass_matrix.txt"), np.asarray(M).T)
 
     # ------------------------------------------------------------------
     def solve_frame_frozen(self, prev_result, shape_velocities_flat):

@@ -103,3 +103,66 @@ def test_cli_params_template(tmp_path):
     d = json.loads(open(out).read())
     assert d["dim"] == 2
     assert config_from_dict(d).dim == 2
+
+
+def test_print_matrices_dumps_and_prm_tail_keys(tmp_path, monkeypatch):
+    """`print_matrices` writes the reference's five txt dumps
+    (`source/bem_stokes.cc:3362-3430`), the Galerkin strategy raises (dead
+    experimental code in the reference), and the remaining reference .prm
+    keys parse into their fields."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from bemstokes_tpu.config import ProblemConfig, SolverConfig
+    from bemstokes_tpu.config_io import parse_prm
+    from bemstokes_tpu.mesh import read_mesh
+    from bemstokes_tpu.problem import StokesBEMProblem
+
+    prm = """
+    set Scaling for monolithic assembling = 2.5
+    set Squirmer change the geometry during the stroke = false
+    set Save matrices as txt files = true
+    set Galerkin Resolution Strategy = true
+    set Apply a correction for rigid rotations = true
+    set Load and save refinement history in the code = true
+    set Number of subdivisions = 2
+    set Apply iges manifold to frame tria = true
+    """
+    cfg = parse_prm(prm)
+    assert cfg.assemble_scaling == 2.5
+    assert cfg.squirmer_change_geometry is False
+    assert cfg.print_matrices is True
+    assert cfg.galerkin is True
+    assert cfg.rotation_correction is True
+    assert cfg.remove_tria_anisotropies is True
+    assert cfg.n_subdivisions == 2
+    assert cfg.apply_iges_to_frame is True
+
+    mesh = read_mesh(
+        "/root/reference/tests/grid_test/sphere_translation_0.msh", dim=3
+    )
+    with _pytest.raises(NotImplementedError, match="Galerkin"):
+        StokesBEMProblem(mesh, ProblemConfig(galerkin=True))
+
+    monkeypatch.chdir(tmp_path)
+    cfg2 = ProblemConfig(
+        grid_type="ImposedVelocity",
+        imposed_component=0,
+        force_pole="Origin",
+        print_matrices=True,
+        solver=SolverConfig(solve_directly=True),
+    )
+    prob = StokesBEMProblem(mesh, cfg2)
+    prob.solve_frame(prob.initial_euler(), jnp.zeros((3 * prob.n,)))
+    for f in (
+        "monolithic_matrix.txt",
+        "V_matrix.txt",
+        "K_matrix.txt",
+        "Mass_matrix.txt",
+        "normals_matrix.txt",
+    ):
+        assert (tmp_path / f).exists(), f
+    M = np.loadtxt(tmp_path / "Mass_matrix.txt")
+    assert M.shape == (prob.n, prob.n)
+    assert np.allclose(M, M.T, atol=1e-12)  # consistent mass is symmetric
