@@ -172,6 +172,13 @@ class ProblemConfig:
     # kernel here (see mesh/io.py), parsed for .prm parity
     apply_iges_to_frame: bool = False
     apply_iges_to_reference: bool = False
+    # run the frame-loop solves through the DISTRIBUTED step (row-sharded
+    # assembly + slab corrections + distributed stale-LU GMRES over a
+    # jax.sharding.Mesh spanning all visible devices/processes) — the
+    # multi-chip counterpart of the reference's MPI execution; the squirmer
+    # frozen-geometry fast path and solve_with_torque stay single-chip
+    distributed: bool = False
+    distributed_devices: int | None = None  # None = all devices
     # numerics
     dtype: str = "float64"
     row_tile: int = 32

@@ -217,13 +217,17 @@ def slab_diagonal(A_slab, n_nodes, dim, mesh: Mesh):
     return _diag(A_slab)
 
 
-def make_sharded_frame_step(problem, dmesh: Mesh):
+def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
     """Build the distributed frame step for a StokesBEMProblem.
 
     Returns step(euler, sdot_flat) -> (rigid_velocities [R], euler_next,
     info) running: sharded assembly -> slab corrections -> implicit
     monolithic GMRES -> rigid update (translation + rotation of body nodes
-    about the force pole).
+    about the force pole).  With `return_fields` the step additionally
+    returns a fields dict (forces, wall velocities, rigid modes, normals,
+    rigid force sums, per-frame invariant diagnostics) so the swimmer frame
+    loop can emit its full output set from the distributed solve
+    (SwimmerSimulation with cfg.distributed).
 
     Config parity with the single-chip path:
     - `solver.gmres_restart` / `solver.max_steps` bound the Arnoldi work
@@ -275,13 +279,14 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
         mass_op, (xq, normals_q, jxw) = build_mass_operator(euler, tables)
         body_nodes = jnp.asarray(problem.body_node_mask, dt_num)
         body_cells = jnp.asarray(problem.body_cell_mask, dt_num)
-        _, com_body = surface_mass_and_com(xq, jxw, body_cells)
+        mass_body, com_body = surface_mass_and_com(xq, jxw, body_cells)
         pole = problem.force_pole_point(com_body)
         sp = support_points_fn(euler, problem.map_space, problem.fe_space).astype(
             dt_num
         )
         N = rigid_modes(sp, pole, node_mask=body_nodes)
         N_dual = jax.vmap(mass_op.matvec)(N)
+        N_dual_c = jax.vmap(mass_op.matvec)(rigid_modes(sp, pole))
         nv = normal_vector_l2(mass_op, normals_q, jxw, body_nodes)
         n_pure_f = flatten(nv["normal_pure"])
         Mn_pure_f = flatten(nv["M_normal_pure"])
@@ -357,10 +362,41 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
             )
         else:
             rhs = jnp.concatenate([rhs_surface, rhs_tail])
-        return dict(
+        sysd = dict(
             euler=euler, A_slab=A_slab, tmp_N=tmp_N, tail=tail, rhs=rhs,
             pole=pole,
         )
+        if return_fields:
+            # per-frame output fields + invariant diagnostics (the swimmer
+            # frame loop's txt/VTU emitters and per-frame checks)
+            v_null_pre = jnp.max(
+                jnp.abs(slab_to_flat(resid_slab, n, d, dmesh))
+            )
+            # post-correction versor check: one K matvec per component
+            # (component-alpha runs report the FULL-row sums, which include
+            # the regular cross-component blocks — informational either way)
+            def k_sum(b):
+                e_b = jnp.zeros((d * n,), dt_num).at[
+                    b * n : (b + 1) * n
+                ].set(1.0)
+                return jnp.max(
+                    jnp.abs(
+                        slab_to_flat(_slab_mv(K_slab, e_b, dmesh), n, d, dmesh)
+                    )
+                )
+
+            sysd["fields"] = dict(
+                N=N,
+                normal=nv["normal"],
+                N_dual_flat=N_dual_flat,
+                N_dual_c_flat=jax.vmap(flatten)(N_dual_c),
+                sel_V=sel_V,
+                mass_body=mass_body,
+                com_body=com_body,
+                v_null_residual_pre=v_null_pre,
+                k_solid_angle_check=jnp.stack([k_sum(b) for b in range(d)]),
+            )
+        return sysd
 
     def make_matvec(sysd):
         A_slab, tmp_N, tail = sysd["A_slab"], sysd["tmp_N"], sysd["tail"]
@@ -478,6 +514,18 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
             max_restarts=max_restarts,
         )
         rigid_vel = x[d * n :] * scale
+        if return_fields:
+            f = sysd["fields"]
+            xs = x[: d * n]
+            forces = jnp.where(f["sel_V"], xs, 0.0)
+            f = dict(
+                f,
+                forces=forces,
+                wall_velocities=jnp.where(f["sel_V"], 0.0, xs),
+                F=f["N_dual_flat"] @ forces,
+                F_complete=f["N_dual_c_flat"] @ forces,
+            )
+            sysd = dict(sysd, fields=f)
 
         # ---- rigid update: translation + rotation of body nodes about the
         # pole (forward-Euler axis-angle, reference `:4728-4846`) ----
@@ -496,6 +544,8 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
             )
             rotated = (euler_next - pole[None, :]) @ Rm.T + pole[None, :]
             euler_next = jnp.where(body > 0, rotated, euler_next)
+        if return_fields:
+            return rigid_vel, euler_next, info, sysd["fields"]
         return rigid_vel, euler_next, info
 
     if cfg.solver.preconditioner_type != "Direct":
@@ -529,16 +579,16 @@ def make_sharded_frame_step(problem, dmesh: Mesh):
             <= cfg.solver.refactor_iteration_trigger
         )
         if reuse:
-            rigid_vel, euler_next, info = _step_stale(
-                euler, sdot_flat, state["factors"]
-            )
+            out = _step_stale(euler, sdot_flat, state["factors"])
             state["refactored"] = False
         else:
-            rigid_vel, euler_next, info, fac = _step_fresh(euler, sdot_flat)
+            *out, fac = _step_fresh(euler, sdot_flat)
+            out = tuple(out)
             state["factors"] = fac
             state["refactored"] = True
+        info = out[2]
         state["last_iterations"] = int(info["iterations"])
-        return rigid_vel, euler_next, info
+        return out
 
     step.stale_state = state
     return step

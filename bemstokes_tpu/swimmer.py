@@ -267,6 +267,46 @@ class SwimmerSimulation:
             f"{base}* (tried {[p for p, _ in candidates]})"
         )
 
+    def _solve(self, euler, sdot):
+        """One frame solve: single-chip `StokesBEMProblem.solve_frame`, or
+        the distributed frame step over a device mesh (cfg.distributed) with
+        its fields repackaged into the same result schema."""
+        cfg = self.cfg
+        if not cfg.distributed:
+            return self.problem.solve_frame(
+                euler, sdot, jnp.asarray(self.state.rotation)
+            )
+        if getattr(self, "_dist_step", None) is None:
+            from .parallel import row_mesh
+            from .parallel.solve import make_sharded_frame_step
+
+            self._dist_step = make_sharded_frame_step(
+                self.problem,
+                row_mesh(cfg.distributed_devices),
+                return_fields=True,
+            )
+        rigid_vel, _, info, fields = self._dist_step(euler, sdot)
+        f = jax.device_get(fields)
+        stale = getattr(self._dist_step, "stale_state", {})
+        return dict(
+            stokes_forces=fields["forces"],  # stays on device for outputs
+            wall_velocities=fields["wall_velocities"],
+            rigid_velocities=np.asarray(rigid_vel),
+            rigid_forces_pole=f["F"],
+            rigid_forces_complete=f["F_complete"],
+            iterations=int(info["iterations"]),
+            converged=bool(np.isfinite(float(info["residual"]))),
+            refactored=stale.get("refactored", False),
+            residual=float(info["residual"]),
+            diagnostics=dict(
+                mass_body=f["mass_body"],
+                com_body=f["com_body"],
+                v_null_residual_pre=f["v_null_residual_pre"],
+                k_solid_angle_check=f["k_solid_angle_check"],
+            ),
+            operators=dict(N=fields["N"], normal=dict(normal=fields["normal"])),
+        )
+
     def _advance_state(self, rigid_velocities: np.ndarray, N):
         cfg = self.cfg
         d = self.problem.dim
@@ -324,15 +364,14 @@ class SwimmerSimulation:
                 cfg.velocity_type == "Squirmer"
                 and not cfg.squirmer_change_geometry
                 and cfg.monolithic
+                and not cfg.distributed  # distributed assembles each frame
                 and prev_res is not None
             )
             with timers.scope("Assemble + LAC Solve"):
                 if frozen:
                     res = self.problem.solve_frame_frozen(prev_res, sdot)
                 else:
-                    res = self.problem.solve_frame(
-                        euler, sdot, jnp.asarray(self.state.rotation)
-                    )
+                    res = self._solve(euler, sdot)
             prev_res = res
             U = res["rigid_velocities"]
             if cfg.solve_with_torque:
@@ -352,9 +391,7 @@ class SwimmerSimulation:
                 self._advance_state(U, jnp.asarray(res["operators"]["N"]))
                 euler_pred = self.euler_for_frame(frame + cfg.delta_frame)
                 sdot_pred = self.shape_velocities(frame + cfg.delta_frame, euler_pred)
-                res_pred = self.problem.solve_frame(
-                    euler_pred, sdot_pred, jnp.asarray(self.state.rotation)
-                )
+                res_pred = self._solve(euler_pred, sdot_pred)
                 self.state = saved
                 U = 0.5 * (U + res_pred["rigid_velocities"])
 
