@@ -60,12 +60,16 @@ def slab_solid_angle_correction(
     use_internal_alpha=False,
     component_labels=None,
     component_alpha=None,
+    return_check=False,
 ):
     """Distributed version of ops.corrections.k_solid_angle_correction: each
     device corrects the diagonal blocks of its own rows.  With
     `component_labels`/`component_alpha` the row sums are restricted to each
     node's own connected component (see the single-chip docstring: the
-    constant-field identity only holds on closed boundaries)."""
+    constant-field identity only holds on closed boundaries).  With
+    `return_check` also returns the post-correction versor check [d]
+    (max restricted row sum per component, computed from the in-hand row
+    blocks — the single-chip diagnostic without extra matvecs)."""
     n = n_nodes
     d = dim
     _, nloc = padded_rows(n, mesh)
@@ -76,13 +80,6 @@ def slab_solid_angle_correction(
         else jnp.asarray(component_alpha, K_slab.dtype)
     )
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("rows", None),),
-        out_specs=P("rows", None),
-        check_vma=False,
-    )
     def _corr(K_loc):  # [d*nloc, d*n]
         r0 = jax.lax.axis_index("rows").astype(jnp.int32) * nloc
         i = jnp.arange(nloc, dtype=jnp.int32)
@@ -126,11 +123,39 @@ def slab_solid_angle_correction(
             if lab is not None
             else (0.0 if use_internal_alpha else 1.0)
         )
-        return K_loc.at[rows_b.ravel(), cols_b.ravel()].add(
+        K_new = K_loc.at[rows_b.ravel(), cols_b.ravel()].add(
             vals.ravel(), mode="drop"
         )
+        if not return_check:
+            return K_new
+        # post-correction restricted row sums of the corrected rows
+        if lab is None:
+            C2 = jnp.stack(
+                [K_new[:, b * n : (b + 1) * n].sum(axis=1) for b in range(d)],
+                axis=-1,
+            )
+        else:
+            C2 = jnp.stack(
+                [
+                    (K_new[:, b * n : (b + 1) * n] * same).sum(axis=1)
+                    for b in range(d)
+                ],
+                axis=-1,
+            )
+        vmask = jnp.tile(valid, d)[:, None]
+        check = jax.lax.pmax(
+            jnp.max(jnp.abs(jnp.where(vmask, C2, 0.0)), axis=0), "rows"
+        )  # [d], replicated
+        return K_new, check
 
-    return _corr(K_slab)
+    wrapped = shard_map(
+        _corr,
+        mesh=mesh,
+        in_specs=(P("rows", None),),
+        out_specs=(P("rows", None), P()) if return_check else P("rows", None),
+        check_vma=False,
+    )
+    return wrapped(K_slab)
 
 
 def slab_block_jacobi_lu(A_slab, tail_rows, n_nodes, dim, n_rigid, mesh: Mesh):
@@ -249,11 +274,27 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
       reference `source/bem_stokes.cc:5787-5835`).
     """
     cfg = problem.cfg
-    if cfg.solve_with_torque:
+    if cfg.solve_with_torque or cfg.imposed_rotation_as_flagellum_shape or (
+        cfg.imposed_translation_as_flagellum_shape
+    ):
+        # the torque row/column and the motor-torque output set
+        # (motor_torque.txt, rigid_flagellum VTU field) are single-chip
+        # features; refusing beats silently dropping reference outputs
         raise NotImplementedError(
-            "solve_with_torque (motor-torque balance) is single-chip only; "
-            "the distributed step covers the rigid tail but not the extra "
-            "torque row/column"
+            "flagellum torque/imposed-shape runs are single-chip only; the "
+            "distributed step covers the rigid tail but not the torque "
+            "row/column or its output set"
+        )
+    if not cfg.monolithic:
+        raise NotImplementedError(
+            "the resistance (non-monolithic) strategy is single-chip only; "
+            "the distributed step solves the monolithic system"
+        )
+    if problem.hanging.n:
+        raise NotImplementedError(
+            "hanging-node constraints are applied on the single-chip "
+            "monolithic path only (problem.py apply_hanging_constraints_"
+            "monolithic); run locally-refined meshes single-chip"
         )
     tables = problem.tables
     d = problem.dim
@@ -299,7 +340,7 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
         V_slab = slab_rank1_update(
             V_slab, resid_slab, Mn_pure_f / l2g_pure, dmesh
         )
-        K_slab = slab_solid_angle_correction(
+        k_out = slab_solid_angle_correction(
             K_slab,
             n,
             d,
@@ -307,7 +348,13 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
             use_internal_alpha=cfg.use_internal_alpha,
             component_labels=problem.node_component_label,
             component_alpha=problem.node_component_alpha,
+            return_check=return_fields,
         )
+        k_check = None
+        if return_fields:
+            K_slab, k_check = k_out
+        else:
+            K_slab = k_out
 
         def P_t(v):
             return tangential_projector(v, n_pure_f, Mn_pure_f, l2g_pure)
@@ -368,23 +415,11 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
         )
         if return_fields:
             # per-frame output fields + invariant diagnostics (the swimmer
-            # frame loop's txt/VTU emitters and per-frame checks)
+            # frame loop's txt/VTU emitters and per-frame checks); the
+            # versor check comes from the correction's in-hand row sums
             v_null_pre = jnp.max(
                 jnp.abs(slab_to_flat(resid_slab, n, d, dmesh))
             )
-            # post-correction versor check: one K matvec per component
-            # (component-alpha runs report the FULL-row sums, which include
-            # the regular cross-component blocks — informational either way)
-            def k_sum(b):
-                e_b = jnp.zeros((d * n,), dt_num).at[
-                    b * n : (b + 1) * n
-                ].set(1.0)
-                return jnp.max(
-                    jnp.abs(
-                        slab_to_flat(_slab_mv(K_slab, e_b, dmesh), n, d, dmesh)
-                    )
-                )
-
             sysd["fields"] = dict(
                 N=N,
                 normal=nv["normal"],
@@ -393,8 +428,9 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
                 sel_V=sel_V,
                 mass_body=mass_body,
                 com_body=com_body,
+                rhs_norm=jnp.linalg.norm(rhs),
                 v_null_residual_pre=v_null_pre,
-                k_solid_angle_check=jnp.stack([k_sum(b) for b in range(d)]),
+                k_solid_angle_check=k_check,
             )
         return sysd
 

@@ -286,18 +286,47 @@ class SwimmerSimulation:
                 return_fields=True,
             )
         rigid_vel, _, info, fields = self._dist_step(euler, sdot)
-        f = jax.device_get(fields)
+        # pull ONLY the per-frame scalars; large fields (forces, modes,
+        # normals) stay on device until the output emitters need them
+        f = jax.device_get(
+            {
+                k: fields[k]
+                for k in (
+                    "F",
+                    "F_complete",
+                    "mass_body",
+                    "com_body",
+                    "rhs_norm",
+                    "v_null_residual_pre",
+                    "k_solid_angle_check",
+                )
+            }
+        )
+        iters = int(info["iterations"])
+        residual = float(info["residual"])
+        b_norm = float(f["rhs_norm"])
+        converged = residual <= cfg.solver.tolerance * (
+            b_norm if b_norm > 0 else 1.0
+        ) * 1.0001
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"distributed GMRES did not converge in {iters} iterations "
+                f"(residual {residual:.3e}, max_steps {cfg.solver.max_steps})",
+                stacklevel=2,
+            )
         stale = getattr(self._dist_step, "stale_state", {})
         return dict(
-            stokes_forces=fields["forces"],  # stays on device for outputs
+            stokes_forces=fields["forces"],
             wall_velocities=fields["wall_velocities"],
             rigid_velocities=np.asarray(rigid_vel),
             rigid_forces_pole=f["F"],
             rigid_forces_complete=f["F_complete"],
-            iterations=int(info["iterations"]),
-            converged=bool(np.isfinite(float(info["residual"]))),
+            iterations=iters,
+            converged=converged,
             refactored=stale.get("refactored", False),
-            residual=float(info["residual"]),
+            residual=residual,
             diagnostics=dict(
                 mass_body=f["mass_body"],
                 com_body=f["com_body"],
