@@ -241,3 +241,54 @@ def cauchy_viscous_stress(grad_u: jnp.ndarray, mu: float = 1.0) -> jnp.ndarray:
     [P, d, d] (the pressure part is recovered separately or via the normal
     traction balance)."""
     return mu * (grad_u + jnp.swapaxes(grad_u, -1, -2))
+
+
+def make_bie_evaluator(tables):
+    """Jitted off-boundary evaluator bound to one tables object: traces once
+    and reuses the executable across calls (the bare function runs eagerly —
+    fine for one-off evaluations, wasteful in loops like the FD stress
+    recovery's 2d evaluations per point set)."""
+    import jax
+
+    @jax.jit
+    def evaluate(val_points, velocities_flat, forces_flat, euler):
+        return evaluate_stokes_bie(
+            val_points, velocities_flat, forces_flat, euler, tables
+        )
+
+    return evaluate
+
+
+def sharded_evaluate_stokes_bie(
+    val_points, velocities_flat, forces_flat, euler, tables, mesh
+):
+    """Off-boundary BIE evaluation with the POINTS sharded over the device
+    mesh (fields replicated) — the distributed counterpart of the
+    reference's replicated `evaluate_stokes_bie` (`source/bem_stokes.cc:
+    5366-5451`): each device integrates the full boundary against its own
+    slice of evaluation points, no collective needed until the caller
+    gathers."""
+    import jax
+    from functools import partial
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ndev = mesh.devices.size
+    P_pts = val_points.shape[0]
+    pad = (-P_pts) % ndev
+    pts = jnp.pad(val_points, ((0, pad), (0, 0)), constant_values=1e6)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows"), P(), P(), P()),
+        out_specs=P("rows"),
+        check_vma=False,
+    )
+    def _ev(pts_loc, u, f, e):
+        return evaluate_stokes_bie(pts_loc, u, f, e, tables)
+
+    out = _ev(pts, velocities_flat, forces_flat, euler)
+    return out[:P_pts]

@@ -194,3 +194,50 @@ def test_distributed_swimmer_loop_matches_single_chip(
     np.testing.assert_allclose(pv_d, pv_s, atol=1e-6)
     # stale-LU engaged on the distributed path: second frame reused factors
     assert sim_d._dist_step.stale_state["refactored"] is False
+
+
+def test_sharded_bie_evaluation_matches_single(reference_grid_dir):
+    """Point-sharded field evaluation == the single-device evaluator."""
+    import numpy as np
+
+    from bemstokes_tpu.config import ProblemConfig, SolverConfig
+    from bemstokes_tpu.mesh import read_mesh
+    from bemstokes_tpu.problem import StokesBEMProblem
+    from bemstokes_tpu.postprocess import (
+        evaluate_stokes_bie,
+        make_bie_evaluator,
+        sharded_evaluate_stokes_bie,
+    )
+    from bemstokes_tpu.physics.rigid import flatten
+
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    cfg = ProblemConfig(
+        grid_type="ImposedVelocity",
+        imposed_component=0,
+        force_pole="Origin",
+        solver=SolverConfig(solve_directly=True),
+    )
+    prob = StokesBEMProblem(mesh, cfg)
+    euler = prob.initial_euler()
+    res = prob.solve_frame(euler, jnp.zeros((3 * prob.n,)))
+    u_flat = flatten(jnp.asarray(res["operators"]["N"][0]))
+    f_flat = res["stokes_forces"]
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(
+        rng.standard_normal((13, 3)) * 0.5
+        + np.array([3.0, 0.0, 0.0])  # exterior points (13: pad path)
+    )
+    ref = np.asarray(
+        evaluate_stokes_bie(pts, u_flat, f_flat, euler, prob.tables)
+    )
+    got = np.asarray(
+        sharded_evaluate_stokes_bie(
+            pts, u_flat, f_flat, euler, prob.tables, row_mesh(8)
+        )
+    )
+    assert np.allclose(got, ref, atol=1e-12)
+    ev = make_bie_evaluator(prob.tables)
+    assert np.allclose(
+        np.asarray(ev(pts, u_flat, f_flat, euler)), ref, atol=1e-12
+    )
