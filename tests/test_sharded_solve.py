@@ -241,3 +241,31 @@ def test_sharded_bie_evaluation_matches_single(reference_grid_dir):
     assert np.allclose(
         np.asarray(ev(pts, u_flat, f_flat, euler)), ref, atol=1e-12
     )
+
+
+def test_distributed_heun_matches_single_chip(reference_grid_dir, tmp_path):
+    """Heun predictor-corrector through the distributed frame loop (stale LU
+    reused across the two solves per frame) == single-chip Heun."""
+    import numpy as np
+
+    from bemstokes_tpu.config import ProblemConfig, SolverConfig
+    from bemstokes_tpu.swimmer import SwimmerSimulation
+
+    def cfg(dist):
+        return ProblemConfig(
+            grid_type="Real",
+            force_pole="Origin",
+            n_frames=2,
+            input_grid_path=f"{reference_grid_dir}/",
+            input_grid_base_name="sphere_translation_",
+            input_grid_format="msh",
+            time_integration="Heun",
+            distributed=dist,
+            solver=SolverConfig(preconditioner_type="Direct"),
+        )
+
+    U = {}
+    for dist in (True, False):
+        sim = SwimmerSimulation(cfg(dist), str(tmp_path / f"d{dist}"))
+        U[dist] = np.asarray(sim.run(0, 1)[0]["rigid_velocities"])
+    np.testing.assert_allclose(U[True], U[False], atol=1e-7)
