@@ -33,6 +33,7 @@ from ..physics.rigid import (
     rigid_modes,
     normal_vector_l2,
     flatten,
+    unflatten,
 )
 
 
@@ -158,6 +159,70 @@ def slab_solid_angle_correction(
     return wrapped(K_slab)
 
 
+def slab_apply_hanging_constraints(A_slab, hc, n_nodes, dim, mesh: Mesh):
+    """Distributed `mesh.constraints.apply_hanging_constraints_monolithic`:
+    each device overwrites the d constrained rows of the hanging nodes it
+    owns with the interpolation identity u_h - sum_k w_k u_{m_k} = 0
+    (reference constrained-row assembly `source/bem_stokes.cc:2970-2995`,
+    woven through the distributed row maps `:1661-1712`).  Rows live in slab
+    layout, columns in the flat component-blocked layout; the constraint
+    tables close over as dense per-node arrays so the per-device update is a
+    fixed-shape masked scatter (no ragged work)."""
+    if hc.n == 0:
+        return A_slab
+    n, d = n_nodes, dim
+    _, nloc = padded_rows(n, mesh)
+    M = hc.masters.shape[1]
+    import numpy as _np
+
+    is_slave = _np.zeros(n, bool)
+    is_slave[hc.slaves] = True
+    mast = _np.zeros((n, M), _np.int32)
+    mast[hc.slaves] = hc.masters
+    wts = _np.zeros((n, M))
+    wts[hc.slaves] = hc.weights
+    is_slave_j = jnp.asarray(is_slave)
+    mast_j = jnp.asarray(mast)
+    wts_j = jnp.asarray(wts, A_slab.dtype)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rows", None),),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )
+    def _apply(A_loc):  # [d*nloc, d*n]
+        r0 = jax.lax.axis_index("rows").astype(jnp.int32) * nloc
+        i = jnp.arange(nloc, dtype=jnp.int32)
+        node = r0 + i  # global node ids of this slab
+        nc = jnp.clip(node, 0, n - 1)
+        sl = is_slave_j[nc] & (node < n)  # [nloc]
+        row_sl = jnp.tile(sl, d)  # local rows are (a, i) -> a*nloc + i
+        A_new = jnp.where(row_sl[:, None], 0.0, A_loc)
+        a = jnp.arange(d, dtype=jnp.int32)
+        rows = a[:, None] * nloc + i[None, :]  # [d, nloc]
+        big = jnp.int32(d * n)  # out-of-bounds column -> dropped scatter
+        cols_id = jnp.where(sl[None, :], a[:, None] * n + node[None, :], big)
+        A_new = A_new.at[rows.ravel(), cols_id.ravel()].add(
+            jnp.ones((d * nloc,), A_loc.dtype), mode="drop"
+        )
+        mk = mast_j[nc]  # [nloc, M]
+        wk = wts_j[nc]  # [nloc, M]
+        cols_m = jnp.where(
+            sl[None, :, None], a[:, None, None] * n + mk[None, :, :], big
+        )  # [d, nloc, M]
+        rows_m = jnp.broadcast_to(rows[:, :, None], (d, nloc, M))
+        vals_m = jnp.broadcast_to(-wk[None, :, :], (d, nloc, M)).astype(
+            A_loc.dtype
+        )
+        return A_new.at[rows_m.ravel(), cols_m.ravel()].add(
+            vals_m.ravel(), mode="drop"
+        )
+
+    return _apply(A_slab)
+
+
 def slab_block_jacobi_lu(A_slab, tail_rows, n_nodes, dim, n_rigid, mesh: Mesh):
     """Factor each device's diagonal block (its rows x its columns) for a
     block-Jacobi preconditioner; the rigid tail gets the identity.  Returns
@@ -242,6 +307,74 @@ def slab_diagonal(A_slab, n_nodes, dim, mesh: Mesh):
     return _diag(A_slab)
 
 
+def _build_sharded_operators(problem, dmesh: Mesh, euler, return_check=False):
+    """Geometry, rigid modes, L2 normals, sharded assembly and the two slab
+    operator corrections — the shared traced prefix of the monolithic and
+    resistance distributed steps (the distributed analog of the first half
+    of `StokesBEMProblem._pipeline`)."""
+    tables = problem.tables
+    cfg = problem.cfg
+    d, n = problem.dim, problem.n
+    dt_num = tables.cfg.dtype
+    euler = euler.astype(dt_num)
+    mass_op, (xq, normals_q, jxw) = build_mass_operator(euler, tables)
+    body_nodes = jnp.asarray(problem.body_node_mask, dt_num)
+    body_cells = jnp.asarray(problem.body_cell_mask, dt_num)
+    mass_body, com_body = surface_mass_and_com(xq, jxw, body_cells)
+    pole = problem.force_pole_point(com_body)
+    from ..fem.geometry import support_points as support_points_fn
+
+    sp = support_points_fn(euler, problem.map_space, problem.fe_space).astype(
+        dt_num
+    )
+    N = rigid_modes(sp, pole, node_mask=body_nodes)
+    N_dual = jax.vmap(mass_op.matvec)(N)
+    N_dual_c = jax.vmap(mass_op.matvec)(rigid_modes(sp, pole))
+    nv = normal_vector_l2(mass_op, normals_q, jxw, body_nodes)
+    n_pure_f = flatten(nv["normal_pure"])
+    Mn_pure_f = flatten(nv["M_normal_pure"])
+    l2g_pure = nv["l2_gamma_pure"]
+
+    V_slab, K_slab = sharded_assemble(euler, sp, tables, dmesh)
+    Vn_slab = _slab_mv(V_slab, n_pure_f, dmesh)
+    resid_slab = flat_to_slab(n_pure_f, n, d, dmesh) - Vn_slab
+    V_slab = slab_rank1_update(V_slab, resid_slab, Mn_pure_f / l2g_pure, dmesh)
+    k_out = slab_solid_angle_correction(
+        K_slab,
+        n,
+        d,
+        dmesh,
+        use_internal_alpha=cfg.use_internal_alpha,
+        component_labels=problem.node_component_label,
+        component_alpha=problem.node_component_alpha,
+        return_check=return_check,
+    )
+    k_check = None
+    if return_check:
+        K_slab, k_check = k_out
+    else:
+        K_slab = k_out
+    return dict(
+        euler=euler,
+        mass_op=mass_op,
+        mass_body=mass_body,
+        com_body=com_body,
+        pole=pole,
+        sp=sp,
+        N=N,
+        N_dual=N_dual,
+        N_dual_c=N_dual_c,
+        nv=nv,
+        n_pure_f=n_pure_f,
+        Mn_pure_f=Mn_pure_f,
+        l2g_pure=l2g_pure,
+        V_slab=V_slab,
+        K_slab=K_slab,
+        k_check=k_check,
+        resid_slab=resid_slab,
+    )
+
+
 def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
     """Build the distributed frame step for a StokesBEMProblem.
 
@@ -271,35 +404,29 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
       block is its local dense LU;
     - `time_integration == "Heun"` is provided by `sharded_heun_step`
       (predictor-corrector re-running this step at the midpoint geometry,
-      reference `source/bem_stokes.cc:5787-5835`).
+      reference `source/bem_stokes.cc:5787-5835`);
+    - `solve_with_torque` adds the motor-torque unknown: an extra rigid
+      column (-scale tmp_torque) on the surface rows, the motor balance row,
+      and the omega/motor-torque output set, all folded through the bordered
+      tail of the distributed LU (reference `source/bem_stokes.cc:3191-3192,
+      3252-3256, 3297-3356`);
+    - hanging-node constraints are applied in slab layout
+      (`slab_apply_hanging_constraints`), matching the single-chip
+      monolithic constraint rows (reference `:1654-1712, 2970-2995`).
     """
     cfg = problem.cfg
-    if cfg.solve_with_torque or cfg.imposed_rotation_as_flagellum_shape or (
-        cfg.imposed_translation_as_flagellum_shape
-    ):
-        # the torque row/column and the motor-torque output set
-        # (motor_torque.txt, rigid_flagellum VTU field) are single-chip
-        # features; refusing beats silently dropping reference outputs
-        raise NotImplementedError(
-            "flagellum torque/imposed-shape runs are single-chip only; the "
-            "distributed step covers the rigid tail but not the torque "
-            "row/column or its output set"
-        )
     if not cfg.monolithic:
-        raise NotImplementedError(
-            "the resistance (non-monolithic) strategy is single-chip only; "
-            "the distributed step solves the monolithic system"
-        )
-    if problem.hanging.n:
-        raise NotImplementedError(
-            "hanging-node constraints are applied on the single-chip "
-            "monolithic path only (problem.py apply_hanging_constraints_"
-            "monolithic); run locally-refined meshes single-chip"
-        )
+        return make_sharded_resistance_step(problem, dmesh, return_fields)
     tables = problem.tables
     d = problem.dim
     n = problem.n
     R = problem.num_rigid
+    # the motor-torque unknown: one extra column (the flagellum rotation
+    # rate) and one extra balance row (reference `source/bem_stokes.cc:
+    # 3191-3192, 3252-3256, 3340-3356`, rank-0 rows `:3297-3352`)
+    with_torque = bool(cfg.solve_with_torque)
+    with_torque_dual = with_torque or cfg.imposed_rotation_as_flagellum_shape
+    RT = R + (1 if with_torque else 0)
     dt_num = tables.cfg.dtype
     scale = cfg.assemble_scaling
     import numpy as _np
@@ -311,50 +438,43 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
     map_body[
         _np.unique(map_sp.cells_nodes[problem.body_cell_mask > 0])
     ] = 1.0
-    from ..fem.geometry import support_points as support_points_fn
+    # hanging-node constraints: the d constrained flat rows per slave node
+    # (matching the single-chip apply_hanging_constraints_monolithic row set)
+    constr_rows = None
+    if problem.hanging.n:
+        comp = _np.arange(d)[:, None] * n
+        constr_rows = (
+            problem.hanging.slaves[None, :].astype(_np.int64) + comp
+        ).reshape(-1)
 
-    def build_system(euler, sdot_flat):
+    def build_system(euler, sdot_flat, rotation):
         """Sharded assembly + corrections + implicit monolithic system;
-        returns the traced pieces shared by every preconditioner variant."""
-        euler = euler.astype(dt_num)
-        mass_op, (xq, normals_q, jxw) = build_mass_operator(euler, tables)
-        body_nodes = jnp.asarray(problem.body_node_mask, dt_num)
-        body_cells = jnp.asarray(problem.body_cell_mask, dt_num)
-        mass_body, com_body = surface_mass_and_com(xq, jxw, body_cells)
-        pole = problem.force_pole_point(com_body)
-        sp = support_points_fn(euler, problem.map_space, problem.fe_space).astype(
-            dt_num
+        returns the traced pieces shared by every preconditioner variant.
+        `rotation` is the accumulated body rotation matrix (consulted only
+        by the flagellum torque mode, like the single-chip pipeline)."""
+        ops = _build_sharded_operators(
+            problem, dmesh, euler, return_check=return_fields
         )
-        N = rigid_modes(sp, pole, node_mask=body_nodes)
-        N_dual = jax.vmap(mass_op.matvec)(N)
-        N_dual_c = jax.vmap(mass_op.matvec)(rigid_modes(sp, pole))
-        nv = normal_vector_l2(mass_op, normals_q, jxw, body_nodes)
-        n_pure_f = flatten(nv["normal_pure"])
-        Mn_pure_f = flatten(nv["M_normal_pure"])
-        l2g_pure = nv["l2_gamma_pure"]
-
-        # ---- sharded assembly + corrections ----
-        V_slab, K_slab = sharded_assemble(euler, sp, tables, dmesh)
-        Vn_slab = _slab_mv(V_slab, n_pure_f, dmesh)
-        resid_slab = flat_to_slab(n_pure_f, n, d, dmesh) - Vn_slab
-        V_slab = slab_rank1_update(
-            V_slab, resid_slab, Mn_pure_f / l2g_pure, dmesh
+        euler = ops["euler"]
+        mass_op = ops["mass_op"]
+        mass_body, com_body, pole = (
+            ops["mass_body"],
+            ops["com_body"],
+            ops["pole"],
         )
-        k_out = slab_solid_angle_correction(
-            K_slab,
-            n,
-            d,
-            dmesh,
-            use_internal_alpha=cfg.use_internal_alpha,
-            component_labels=problem.node_component_label,
-            component_alpha=problem.node_component_alpha,
-            return_check=return_fields,
+        N, N_dual, N_dual_c, nv = (
+            ops["N"],
+            ops["N_dual"],
+            ops["N_dual_c"],
+            ops["nv"],
         )
-        k_check = None
-        if return_fields:
-            K_slab, k_check = k_out
-        else:
-            K_slab = k_out
+        n_pure_f, Mn_pure_f, l2g_pure = (
+            ops["n_pure_f"],
+            ops["Mn_pure_f"],
+            ops["l2g_pure"],
+        )
+        V_slab, K_slab = ops["V_slab"], ops["K_slab"]
+        k_check, resid_slab = ops["k_check"], ops["resid_slab"]
 
         def P_t(v):
             return tangential_projector(v, n_pure_f, Mn_pure_f, l2g_pure)
@@ -367,6 +487,29 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
         tmp_N = jax.vmap(PKP)(N_flat)  # [R, dn]
         N_dual_flat = jax.vmap(flatten)(N_dual)
         rhs_surface = PKP(sdot_flat.astype(dt_num))
+        tmp_torque = None
+        torque_dual_flat = None
+        torque_mode_flat = None
+        if with_torque_dual:
+            torque_mode_flat = flatten(
+                problem.flagellum_torque_mode(euler, rotation)
+            )
+            torque_dual_flat = flatten(
+                mass_op.matvec(unflatten(torque_mode_flat, d))
+            )
+            if with_torque:
+                tmp_torque = PKP(torque_mode_flat)
+        if constr_rows is not None:
+            # constrained rows: the monolithic row (incl. its rigid columns
+            # and rhs entry) is replaced by the interpolation identity, so
+            # the rigid-column and rhs contributions vanish there (the A_slab
+            # rows themselves are rewritten by slab_apply_hanging_constraints
+            # below)
+            keep = jnp.ones((d * n,), dt_num).at[constr_rows].set(0.0)
+            tmp_N = tmp_N * keep[None, :]
+            rhs_surface = rhs_surface * keep
+            if tmp_torque is not None:
+                tmp_torque = tmp_torque * keep
 
         sel_V = operator_column_mask(
             jnp.asarray(problem.node_material), flatten(nv["normal"]), n, d
@@ -385,6 +528,10 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
             return jnp.where(sel[None, :], V_loc, -K_loc)
 
         A_slab = _select(V_slab, K_slab, sel_V)
+        if constr_rows is not None:
+            A_slab = slab_apply_hanging_constraints(
+                A_slab, problem.hanging, n, d, dmesh
+            )
 
         tail = scale * N_dual_flat if cfg.grid_type == "Real" else N_dual_flat
         if cfg.grid_type == "ImposedVelocity":
@@ -394,25 +541,36 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
         if cfg.grid_type != "Real":
             from ..ops.monolithic import imposed_tail_vector
 
-            rhs = jnp.concatenate(
-                [
-                    jnp.zeros((d * n,), dt_num),
-                    imposed_tail_vector(
-                        R,
-                        d,
-                        cfg.imposed_component,
-                        angle=cfg.angle_for_imposed_stuff,
-                        rotate=cfg.extra_debug_info,
-                        dtype=dt_num,
-                    ),
-                ]
+            rhs_head = jnp.zeros((d * n,), dt_num)
+            rhs_tail = imposed_tail_vector(
+                R,
+                d,
+                cfg.imposed_component,
+                angle=cfg.angle_for_imposed_stuff,
+                rotate=cfg.extra_debug_info,
+                dtype=dt_num,
             )
+        elif with_torque:
+            # the gait rate is an unknown of the motor balance: zero surface
+            # rhs (reference `:3191-3192`)
+            rhs_head = jnp.zeros((d * n,), dt_num)
         else:
-            rhs = jnp.concatenate([rhs_surface, rhs_tail])
+            rhs_head = rhs_surface
+        rhs_parts = [rhs_head, rhs_tail]
+        if with_torque:
+            rhs_parts.append(
+                jnp.full((1,), cfg.imposed_motor_torque, dt_num)
+            )
+        rhs = jnp.concatenate(rhs_parts)
         sysd = dict(
             euler=euler, A_slab=A_slab, tmp_N=tmp_N, tail=tail, rhs=rhs,
             pole=pole,
         )
+        if with_torque_dual:
+            sysd["torque_dual"] = torque_dual_flat
+            sysd["torque_mode_flat"] = torque_mode_flat
+        if with_torque:
+            sysd["tmp_torque"] = tmp_torque
         if return_fields:
             # per-frame output fields + invariant diagnostics (the swimmer
             # frame loop's txt/VTU emitters and per-frame checks); the
@@ -437,15 +595,21 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
     def make_matvec(sysd):
         A_slab, tmp_N, tail = sysd["A_slab"], sysd["tmp_N"], sysd["tail"]
 
-        def matvec(x):  # x = [dn + R] replicated
-            xs, u = x[: d * n], x[d * n :]
+        def matvec(x):  # x = [dn + R (+1 torque)] replicated
+            xs, u = x[: d * n], x[d * n : d * n + R]
             y_surf = slab_to_flat(_slab_mv(A_slab, xs, dmesh), n, d, dmesh)
             y_surf = y_surf - scale * (u @ tmp_N)
+            if with_torque:
+                y_surf = y_surf - scale * x[d * n + R] * sysd["tmp_torque"]
             if cfg.grid_type == "ImposedVelocity":
                 y_tail = scale * u
             else:
                 y_tail = tail @ xs
-            return jnp.concatenate([y_surf, y_tail])
+            parts = [y_surf, y_tail]
+            if with_torque:
+                # motor balance row (reference `:3340-3356`)
+                parts.append(scale * (sysd["torque_dual"] @ xs)[None])
+            return jnp.concatenate(parts)
 
         return matvec
 
@@ -458,29 +622,38 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
 
     def direct_factor(sysd):
         """Distributed blocked-LU of the surface slab + bordered Schur
-        complement for the R rigid tail rows/columns: with As = surface
-        block, B = -scale tmp_N^T, T/D the tail rows, the preconditioner is
-        the EXACT monolithic inverse [[As, B], [T, D]]^-1 expressed through
-        Z = As^-1 B and S = D - T Z (one distributed LU solve per apply)."""
+        complement for the RT tail rows/columns (R rigid + optional torque):
+        with As = surface block, B the rigid/torque columns, T/D the tail
+        rows, the preconditioner is the EXACT monolithic inverse
+        [[As, B], [T, D]]^-1 expressed through Z = As^-1 B and S = D - T Z
+        (one distributed LU solve per apply)."""
         from .lu import slab_reorder_columns, slab_lu_factor, slab_lu_solve
 
         A2 = slab_reorder_columns(sysd["A_slab"], n, d, dmesh).astype(fdt)
         lu, perm = slab_lu_factor(A2, dmesh)
+        bcols = [-scale * sysd["tmp_N"][r] for r in range(R)]
+        if with_torque:
+            bcols.append(-scale * sysd["tmp_torque"])
         Zcols = []
-        for r in range(R):
-            brhs = flat_to_slab(
-                (-scale * sysd["tmp_N"][r]).astype(fdt), n, d, dmesh
-            )
+        for c in bcols:
+            brhs = flat_to_slab(c.astype(fdt), n, d, dmesh)
             Zcols.append(
                 slab_to_flat(slab_lu_solve(lu, perm, brhs, dmesh), n, d, dmesh)
             )
-        Z = jnp.stack(Zcols, axis=1)  # [dn, R]
+        Z = jnp.stack(Zcols, axis=1)  # [dn, RT]
         if cfg.grid_type == "ImposedVelocity":
-            T = jnp.zeros((R, d * n), fdt)
-            D = scale * jnp.eye(R, dtype=fdt)
+            T_top = jnp.zeros((R, d * n), fdt)
+            D_top = scale * jnp.eye(R, dtype=fdt)
         else:
-            T = sysd["tail"].astype(fdt)
-            D = jnp.zeros((R, R), fdt)
+            T_top = sysd["tail"].astype(fdt)
+            D_top = jnp.zeros((R, R), fdt)
+        if with_torque:
+            T = jnp.concatenate(
+                [T_top, (scale * sysd["torque_dual"]).astype(fdt)[None, :]]
+            )
+            D = jnp.zeros((RT, RT), fdt).at[:R, :R].set(D_top)
+        else:
+            T, D = T_top, D_top
         S_lu = jax.scipy.linalg.lu_factor(D - T @ Z)
         return dict(lu=lu, perm=perm, Z=Z, T=T, S_lu=S_lu)
 
@@ -549,7 +722,7 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
             tol=cfg.solver.tolerance,
             max_restarts=max_restarts,
         )
-        rigid_vel = x[d * n :] * scale
+        rigid_vel = x[d * n : d * n + R] * scale
         if return_fields:
             f = sysd["fields"]
             xs = x[: d * n]
@@ -561,6 +734,17 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
                 F=f["N_dual_flat"] @ forces,
                 F_complete=f["N_dual_c_flat"] @ forces,
             )
+            if with_torque:
+                # the motor-balance unknown: flagellum rotation rate omega;
+                # the effective gait velocity is omega * N_flagellum_torque
+                # (reference `:4398-4410`)
+                omega = x[-1] * scale
+                f["flagellum_omega"] = omega
+                f["shape_velocities_flat"] = omega * sysd["torque_mode_flat"]
+            if with_torque_dual:
+                # motor torque actually transmitted (reference `:4374-4384`)
+                f["motor_torque"] = jnp.dot(sysd["torque_dual"], forces)
+                f["torque_mode_flat"] = sysd["torque_mode_flat"]
             sysd = dict(sysd, fields=f)
 
         # ---- rigid update: translation + rotation of body nodes about the
@@ -584,41 +768,50 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
             return rigid_vel, euler_next, info, sysd["fields"]
         return rigid_vel, euler_next, info
 
+    def _rot(rotation):
+        if rotation is None:
+            return jnp.eye(d, dtype=dt_num)
+        return jnp.asarray(rotation, dt_num)
+
     if cfg.solver.preconditioner_type != "Direct":
 
-        def step(euler, sdot_flat):
-            sysd = build_system(euler, sdot_flat)
+        @jax.jit
+        def _step_plain(euler, sdot_flat, rotation):
+            sysd = build_system(euler, sdot_flat, rotation)
             return solve_and_finish(sysd, make_precond(sysd))
 
-        return jax.jit(step)
+        def step(euler, sdot_flat, rotation=None):
+            return _step_plain(euler, sdot_flat, _rot(rotation))
+
+        return step
 
     # Direct: two compiled variants + host-side stale-reuse bookkeeping
     # (reference refactor-on-trigger, `source/bem_stokes.cc:4336-4339`)
     @jax.jit
-    def _step_fresh(euler, sdot_flat):
-        sysd = build_system(euler, sdot_flat)
+    def _step_fresh(euler, sdot_flat, rotation):
+        sysd = build_system(euler, sdot_flat, rotation)
         fac = direct_factor(sysd)
         out = solve_and_finish(sysd, direct_apply(fac))
         return out + (fac,)
 
     @jax.jit
-    def _step_stale(euler, sdot_flat, fac):
-        sysd = build_system(euler, sdot_flat)
+    def _step_stale(euler, sdot_flat, rotation, fac):
+        sysd = build_system(euler, sdot_flat, rotation)
         return solve_and_finish(sysd, direct_apply(fac))
 
     state = {"factors": None, "last_iterations": 0, "refactored": False}
 
-    def step(euler, sdot_flat):
+    def step(euler, sdot_flat, rotation=None):
         reuse = (
             state["factors"] is not None
             and state["last_iterations"]
             <= cfg.solver.refactor_iteration_trigger
         )
         if reuse:
-            out = _step_stale(euler, sdot_flat, state["factors"])
+            out = _step_stale(euler, sdot_flat, _rot(rotation), state["factors"])
             state["refactored"] = False
         else:
-            *out, fac = _step_fresh(euler, sdot_flat)
+            *out, fac = _step_fresh(euler, sdot_flat, _rot(rotation))
             out = tuple(out)
             state["factors"] = fac
             state["refactored"] = True
@@ -630,19 +823,179 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
     return step
 
 
-def sharded_heun_step(step, euler, sdot_flat, euler_pred=None, sdot_pred=None):
+def make_sharded_resistance_step(
+    problem, dmesh: Mesh, return_fields: bool = False
+):
+    """Distributed non-monolithic (grand resistance matrix) strategy — the
+    sharded counterpart of `StokesBEMProblem._solve_frame_resistance`
+    (reference `solve_system(monolithic=false)` on distributed vectors,
+    `source/bem_stokes.cc:4163-4258`, D2N `:4073-4129`).
+
+    Each Dirichlet-to-Neumann application f = P_t V^-1 P_t K P_t v runs as
+    GMRES over the slab matvec of V preconditioned by the distributed
+    blocked LU of V (the reference's GMRES + DirectPreconditioner inner
+    solve, `:4106-4117`); the R+1 D2N solves share one factorization.  The
+    R x R resistance system is replicated (it is the reference's rank-0
+    tiny GMRES, `:4244-4258`)."""
+    from .lu import slab_reorder_columns, slab_lu_factor, slab_lu_solve
+
+    cfg = problem.cfg
+    if problem.hanging.n:
+        # the reference's resistance path predates constraints too: its D2N
+        # operates on the raw V/K blocks with no constrained rows
+        # (`:4073-4129` has no ConstraintMatrix use); refuse rather than
+        # silently drop the interpolation conditions
+        raise NotImplementedError(
+            "the resistance strategy does not support hanging-node meshes "
+            "(the reference's dirichlet_to_neumann_operator has no "
+            "constraint handling either); use the monolithic strategy"
+        )
+    d = problem.dim
+    n = problem.n
+    R = problem.num_rigid
+    dt_num = problem.tables.cfg.dtype
+    restart = cfg.solver.gmres_restart
+    max_restarts = max(1, -(-cfg.solver.max_steps // max(restart, 1)))
+    import numpy as _np
+
+    map_sp = problem.map_space
+    map_body = _np.zeros(map_sp.n_nodes)
+    map_body[
+        _np.unique(map_sp.cells_nodes[problem.body_cell_mask > 0])
+    ] = 1.0
+
+    @jax.jit
+    def _step(euler, sdot_flat):
+        ops = _build_sharded_operators(
+            problem, dmesh, euler, return_check=return_fields
+        )
+        V_slab, K_slab = ops["V_slab"], ops["K_slab"]
+        n_pure_f, Mn_pure_f, l2g_pure = (
+            ops["n_pure_f"],
+            ops["Mn_pure_f"],
+            ops["l2g_pure"],
+        )
+
+        def P_t(v):
+            return tangential_projector(v, n_pure_f, Mn_pure_f, l2g_pure)
+
+        V2 = slab_reorder_columns(V_slab, n, d, dmesh)
+        lu, perm = slab_lu_factor(V2, dmesh)
+
+        def V_precond(x):
+            return slab_to_flat(
+                slab_lu_solve(
+                    lu, perm, flat_to_slab(x, n, d, dmesh), dmesh
+                ),
+                n,
+                d,
+                dmesh,
+            )
+
+        def d2n(v):
+            rhs = P_t(
+                slab_to_flat(_slab_mv(K_slab, P_t(v), dmesh), n, d, dmesh)
+            )
+            f, info = gmres(
+                lambda x: slab_to_flat(
+                    _slab_mv(V_slab, x, dmesh), n, d, dmesh
+                ),
+                rhs,
+                precond=V_precond,
+                restart=restart,
+                tol=cfg.solver.tolerance,
+                max_restarts=max_restarts,
+            )
+            return P_t(f), info
+
+        N_flat = jax.vmap(flatten)(ops["N"])  # [R, dn]
+        N_dual_flat = jax.vmap(flatten)(ops["N_dual"])
+        f_s, info_s = d2n(sdot_flat.astype(dt_num))
+        DN_rows, iters = [], info_s["iterations"]
+        for r in range(R):
+            fr, ir = d2n(N_flat[r])
+            DN_rows.append(fr)
+            iters = jnp.maximum(iters, ir["iterations"])
+        DN_N = jnp.stack(DN_rows)  # [R, dn]
+        res_matrix = N_dual_flat @ DN_N.T
+        rhs_R = -(N_dual_flat @ f_s)
+        if cfg.grid_type == "ImposedForce":
+            A_R = res_matrix
+            rhs_R = rhs_R.at[cfg.imposed_component].add(1.0)
+        elif cfg.grid_type == "ImposedVelocity":
+            A_R = jnp.eye(R, dtype=dt_num)
+            rhs_R = (
+                jnp.zeros((R,), dt_num).at[cfg.imposed_component].set(1.0)
+            )
+        else:
+            A_R = res_matrix
+        U = jnp.linalg.solve(A_R, rhs_R)
+        forces = f_s + U @ DN_N
+
+        # rigid update (same forward-Euler axis-angle as the monolithic step)
+        euler_adv = ops["euler"]
+        body = jnp.asarray(map_body, dt_num)[:, None]
+        euler_next = euler_adv + cfg.time_step * U[None, :d] * body
+        if cfg.consider_rigid_rotations:
+            from ..physics.kinematics import update_rotation_matrix
+
+            Rm = update_rotation_matrix(
+                jnp.eye(d, dtype=dt_num),
+                U[d : 2 * d] if d == 3 else U[d],
+                cfg.time_step,
+                forward_euler=True,
+            )
+            rotated = (euler_next - ops["pole"][None, :]) @ Rm.T + ops[
+                "pole"
+            ][None, :]
+            euler_next = jnp.where(body > 0, rotated, euler_next)
+        info = dict(
+            iterations=iters, residual=jnp.zeros((), dt_num)
+        )
+        if not return_fields:
+            return U, euler_next, info
+        fields = dict(
+            forces=forces,
+            wall_velocities=jnp.zeros_like(forces),
+            resistance_matrix=res_matrix,
+            N=ops["N"],
+            normal=ops["nv"]["normal"],
+            N_dual_flat=N_dual_flat,
+            F=N_dual_flat @ forces,
+            F_complete=jax.vmap(flatten)(ops["N_dual_c"]) @ forces,
+            mass_body=ops["mass_body"],
+            com_body=ops["com_body"],
+            rhs_norm=jnp.linalg.norm(rhs_R),
+            v_null_residual_pre=jnp.max(
+                jnp.abs(slab_to_flat(ops["resid_slab"], n, d, dmesh))
+            ),
+            k_solid_angle_check=ops["k_check"],
+        )
+        return U, euler_next, info, fields
+
+    def step(euler, sdot_flat, rotation=None):
+        # rotation is accepted for signature parity with the monolithic
+        # step; the resistance strategy has no torque mode to rotate
+        return _step(euler, sdot_flat)
+
+    return step
+
+
+def sharded_heun_step(
+    step, euler, sdot_flat, euler_pred=None, sdot_pred=None, rotation=None
+):
     """Heun predictor-corrector around a jitted sharded frame step: solve at
     `euler`, re-solve at the midpoint geometry, average the rigid velocities
     (reference `source/bem_stokes.cc:5787-5835`).  Mirroring the single-chip
     `SwimmerSimulation` Heun branch, the corrector runs at the NEXT frame's
     gait shape `euler_pred` with the next frame's gait velocity `sdot_pred`
     (both default to the predictor's outputs when the gait is frozen)."""
-    rigid_vel, euler_next, info = step(euler, sdot_flat)
+    rigid_vel, euler_next, info = step(euler, sdot_flat, rotation)
     if euler_pred is None:
         euler_pred = euler_next
     if sdot_pred is None:
         sdot_pred = sdot_flat
-    rigid_vel2, _, info2 = step(euler_pred, sdot_pred)
+    rigid_vel2, _, info2 = step(euler_pred, sdot_pred, rotation)
     return 0.5 * (rigid_vel + rigid_vel2), info, info2
 
 

@@ -285,23 +285,24 @@ class SwimmerSimulation:
                 row_mesh(cfg.distributed_devices),
                 return_fields=True,
             )
-        rigid_vel, _, info, fields = self._dist_step(euler, sdot)
+        rigid_vel, _, info, fields = self._dist_step(
+            euler, sdot, jnp.asarray(self.state.rotation)
+        )
         # pull ONLY the per-frame scalars; large fields (forces, modes,
         # normals) stay on device until the output emitters need them
-        f = jax.device_get(
-            {
-                k: fields[k]
-                for k in (
-                    "F",
-                    "F_complete",
-                    "mass_body",
-                    "com_body",
-                    "rhs_norm",
-                    "v_null_residual_pre",
-                    "k_solid_angle_check",
-                )
-            }
-        )
+        scalar_keys = [
+            "F",
+            "F_complete",
+            "mass_body",
+            "com_body",
+            "rhs_norm",
+            "v_null_residual_pre",
+            "k_solid_angle_check",
+        ]
+        for k in ("flagellum_omega", "motor_torque"):
+            if k in fields:
+                scalar_keys.append(k)
+        f = jax.device_get({k: fields[k] for k in scalar_keys})
         iters = int(info["iterations"])
         residual = float(info["residual"])
         b_norm = float(f["rhs_norm"])
@@ -317,6 +318,20 @@ class SwimmerSimulation:
                 stacklevel=2,
             )
         stale = getattr(self._dist_step, "stale_state", {})
+        ops = dict(N=fields["N"], normal=dict(normal=fields["normal"]))
+        extra = {}
+        if "torque_mode_flat" in fields:
+            # single-chip schema parity (motor_torque.txt, rigid_flagellum
+            # VTU field, torque-driven gait velocities)
+            ops["N_flagellum_torque"] = fields["torque_mode_flat"]
+            extra["motor_torque"] = float(f["motor_torque"])
+        if "flagellum_omega" in f:
+            extra["flagellum_omega"] = float(f["flagellum_omega"])
+            extra["shape_velocities"] = fields["shape_velocities_flat"]
+        if "resistance_matrix" in fields:
+            extra["resistance_matrix"] = np.asarray(
+                fields["resistance_matrix"]
+            )
         return dict(
             stokes_forces=fields["forces"],
             wall_velocities=fields["wall_velocities"],
@@ -333,7 +348,8 @@ class SwimmerSimulation:
                 v_null_residual_pre=f["v_null_residual_pre"],
                 k_solid_angle_check=f["k_solid_angle_check"],
             ),
-            operators=dict(N=fields["N"], normal=dict(normal=fields["normal"])),
+            operators=ops,
+            **extra,
         )
 
     def _advance_state(self, rigid_velocities: np.ndarray, N):
