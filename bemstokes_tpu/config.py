@@ -161,15 +161,18 @@ class ProblemConfig:
     # has zero readers) — parsed for .prm parity
     rotation_correction: bool = False
     # reference calls GridTools::remove_anisotropy on read meshes
-    # (`source/bem_stokes.cc:662, 2305`); this refiner only ever performs
-    # isotropic quad splits, so the pass is a structural no-op here
+    # (`source/bem_stokes.cc:662, 2305`): SwimmerSimulation applies
+    # mesh.refine.remove_anisotropy (anisotropic cut_x/cut_y splits of
+    # elongated quads) to the base mesh and replays the same cuts on every
+    # frame mesh so the gait keeps one topology
     remove_tria_anisotropies: bool = False
     # extra VTU patch subdivisions (reference DataOut build_patches degree +
     # n_subdivisions, `:5219`); patches here always render at FE-degree
     # resolution (= the reference default n_subdivisions 0)
     n_subdivisions: int = 0
     # iges CAD manifolds are OCE-gated in the reference (`:532-578`); no CAD
-    # kernel here (see mesh/io.py), parsed for .prm parity
+    # kernel here (see mesh/io.py) — enabling either flag raises
+    # NotImplementedError in StokesBEMProblem (like `galerkin`)
     apply_iges_to_frame: bool = False
     apply_iges_to_reference: bool = False
     # run the frame-loop solves through the DISTRIBUTED step (row-sharded

@@ -218,3 +218,123 @@ def _refine_once_lines(mesh: SurfaceMesh, manifold, cell_filter):
         np.asarray(new_mats, dtype=np.int32),
         np.asarray(new_flips, dtype=bool),
     )
+
+
+# ----------------------------------------------------------------------
+# Anisotropy removal (reference `GridTools::remove_anisotropy` applied in
+# `read_domain` when `remove_tria_anisotropies` is set,
+# `source/bem_stokes.cc:662-664`, to frame trias `:2305-2307`, and
+# unconditionally to imported cylinder walls `:1050, 1098`).
+
+
+def _anisotropy_cuts(mesh: SurfaceMesh, max_ratio: float) -> np.ndarray:
+    """Per-cell cut decision: 0 = keep, 1 = cut along parametric x (the cell
+    is long in x), 2 = cut along y.  Edge lengths are averaged over the two
+    parallel edges of the (lexicographic) quad."""
+    V, C = mesh.vertices, mesh.cells
+    lx = 0.5 * (
+        np.linalg.norm(V[C[:, 1]] - V[C[:, 0]], axis=1)
+        + np.linalg.norm(V[C[:, 3]] - V[C[:, 2]], axis=1)
+    )
+    ly = 0.5 * (
+        np.linalg.norm(V[C[:, 2]] - V[C[:, 0]], axis=1)
+        + np.linalg.norm(V[C[:, 3]] - V[C[:, 1]], axis=1)
+    )
+    cuts = np.zeros(len(C), dtype=np.int8)
+    cuts[lx > max_ratio * ly] = 1
+    cuts[ly > max_ratio * lx] = 2
+    return cuts
+
+
+def _cut_cells(mesh: SurfaceMesh, cuts: np.ndarray, manifold=None) -> SurfaceMesh:
+    """Apply anisotropic cuts (deal.II RefinementCase::cut_x / cut_y for
+    quads): each flagged cell splits into two children along its long
+    parametric axis.  Midpoints are recorded in `edge_midpoints` so hanging
+    nodes against uncut neighbors stay exactly constrained."""
+    verts = [v for v in mesh.vertices]
+    edge_mid: dict[tuple[int, int], int] = {}
+    midpoint_records = (
+        [tuple(r) for r in mesh.edge_midpoints]
+        if mesh.edge_midpoints is not None
+        else []
+    )
+
+    def midpoint(a: int, b: int, parents) -> int:
+        key = (min(a, b), max(a, b))
+        if key in edge_mid:
+            return edge_mid[key]
+        p = 0.5 * (np.asarray(verts[a]) + np.asarray(verts[b]))
+        if manifold is not None:
+            p = manifold.project(p[None, :], parents[None, :, :])[0]
+        verts.append(p)
+        edge_mid[key] = len(verts) - 1
+        midpoint_records.append((len(verts) - 1, key[0], key[1]))
+        return edge_mid[key]
+
+    new_cells, new_mats, new_flips = [], [], []
+    for c in range(mesh.n_cells):
+        v00, v10, v01, v11 = (int(x) for x in mesh.cells[c])
+        mat, flip = mesh.material_id[c], mesh.flip_normal[c]
+        quad = np.asarray([verts[i] for i in (v00, v10, v01, v11)])
+        if cuts[c] == 1:  # long in x: cut the two x-edges
+            m_b = midpoint(v00, v10, quad[[0, 1]])
+            m_t = midpoint(v01, v11, quad[[2, 3]])
+            children = ([v00, m_b, v01, m_t], [m_b, v10, m_t, v11])
+        elif cuts[c] == 2:  # long in y: cut the two y-edges
+            m_l = midpoint(v00, v01, quad[[0, 2]])
+            m_r = midpoint(v10, v11, quad[[1, 3]])
+            children = ([v00, v10, m_l, m_r], [m_l, m_r, v01, v11])
+        else:
+            children = ([v00, v10, v01, v11],)
+        for child in children:
+            new_cells.append(child)
+            new_mats.append(mat)
+            new_flips.append(flip)
+    return SurfaceMesh(
+        np.asarray(verts),
+        np.asarray(new_cells, dtype=np.int32),
+        np.asarray(new_mats, dtype=np.int32),
+        np.asarray(new_flips, dtype=bool),
+        np.asarray(midpoint_records, dtype=np.int32).reshape(-1, 3),
+    )
+
+
+def remove_anisotropy(
+    mesh: SurfaceMesh,
+    max_ratio: float = 1.6180339887,
+    max_iterations: int = 5,
+    manifold=None,
+    plan: list | None = None,
+):
+    """Cut elongated quads along their long parametric axis until every
+    cell's edge-length ratio is below `max_ratio` (deal.II
+    `GridTools::remove_anisotropy` defaults; reference usage
+    `source/bem_stokes.cc:662-664, 2305-2307`).
+
+    Returns (mesh, plan).  The returned `plan` (the per-pass cut arrays
+    actually executed) can be passed back in to REPLAY identical cuts on a
+    same-topology mesh with different geometry — gait frame meshes must all
+    end up with the same connectivity, so the frame-0 decisions are replayed
+    on every later frame (the reference re-runs the geometric test per frame
+    and relies on the gait preserving cell shape; replay makes the topology
+    invariance explicit).  2D line meshes are returned unchanged (a line has
+    one parametric direction)."""
+    if mesh.cells.shape[1] != 4:
+        return mesh, []
+    executed: list[np.ndarray] = []
+    it = 0
+    while True:
+        if plan is not None:
+            if it >= len(plan):
+                break
+            cuts = plan[it]
+        else:
+            if it >= max_iterations:
+                break
+            cuts = _anisotropy_cuts(mesh, max_ratio)
+            if not cuts.any():
+                break
+        mesh = _cut_cells(mesh, cuts, manifold)
+        executed.append(np.asarray(cuts))
+        it += 1
+    return mesh, executed

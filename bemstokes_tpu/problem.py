@@ -211,6 +211,16 @@ class StokesBEMProblem:
                     "close the map along hanging edges; use map_degree=1 "
                     "otherwise"
                 )
+        if self.cfg.apply_iges_to_frame or self.cfg.apply_iges_to_reference:
+            # the reference gates these behind an OpenCASCADE build
+            # (`BEM_STOKES_WITH_OCE`, iges manifold `source/bem_stokes.cc:
+            # 532-578, 2296-2303`); there is no CAD kernel in this image, so
+            # refusing beats silently ignoring the CAD manifold
+            raise NotImplementedError(
+                "iges CAD manifolds need an OpenCASCADE-class kernel (the "
+                "reference compile-gates them behind BEM_STOKES_WITH_OCE); "
+                "use body_manifold sphere/spheroid/cylinder instead"
+            )
         if self.cfg.galerkin:
             # the reference ships the Galerkin strategy gutted ("just
             # experimental ... not fit for real simulations",

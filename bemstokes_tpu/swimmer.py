@@ -75,6 +75,10 @@ def _spherical_head_remap(euler: np.ndarray, body_mask: np.ndarray) -> np.ndarra
 
 
 class SwimmerSimulation:
+    # per-pass anisotropy-cut plan: decided on the first mesh read, replayed
+    # on every later frame so the gait keeps one topology
+    _aniso_plan = None
+
     def __init__(self, cfg: ProblemConfig, output_dir: str = "."):
         self.cfg = cfg
         self.out = output_dir
@@ -166,7 +170,23 @@ class SwimmerSimulation:
             f"{cfg.input_grid_path}{cfg.input_grid_base_name}{frame}."
             f"{cfg.input_grid_format}"
         )
-        return read_mesh(path, dim=cfg.dim, force_material=0)
+        mesh = read_mesh(path, dim=cfg.dim, force_material=0)
+        if cfg.remove_tria_anisotropies:
+            # reference GridTools::remove_anisotropy on the reference tria
+            # (`source/bem_stokes.cc:662-664`) and each frame tria
+            # (`:2305-2307`); the frame-0 cut decisions are replayed on later
+            # frames so every frame shares the base mesh's topology
+            from .mesh.refine import remove_anisotropy
+            from .problem import _resolve_manifold
+
+            mesh, plan = remove_anisotropy(
+                mesh,
+                manifold=_resolve_manifold(cfg),
+                plan=self._aniso_plan,
+            )
+            if self._aniso_plan is None:
+                self._aniso_plan = plan
+        return mesh
 
     def euler_for_frame(self, frame: int) -> jnp.ndarray:
         """Frame geometry under the current rigid state (reference
