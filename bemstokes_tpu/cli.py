@@ -71,13 +71,23 @@ def _build_parser():
 def main(argv=None):
     args = _build_parser().parse_args(argv)
 
+    import jax
+
     if getattr(args, "platform", None):
         # must happen after the jax import (environment pinning may already
         # have selected a platform at interpreter startup) but before any
         # computation
-        import jax
-
         jax.config.update("jax_platforms", args.platform)
+
+    # persistent compilation cache: on the TPU relay a cold jit compile of
+    # the frame pipeline is tens of seconds; cached reruns are ~1 s (same
+    # setup as bench.py / scripts/tune_assembly.py)
+    cache_dir = os.environ.get(
+        "BEMSTOKES_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".bemstokes_jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     # multi-host: engage jax.distributed when launched under a multi-process
     # runner (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID

@@ -52,8 +52,10 @@ def _node_kernel(xi_ref, y_ref, n_ref, w_ref, v_ref, k_ref, *, CJ, nq, vmax, T):
       shared scale planes beforehand — no MXU micro-dots with a 1-row lhs.
     """
     dt = xi_ref.dtype
-    cG = jnp.asarray(1.0 / (8.0 * math.pi), dt)
-    cW = jnp.asarray(-3.0 / (4.0 * math.pi), dt)
+    # cG = 1/8pi is FOLDED into the weight table by pallas_node_blocks for
+    # this (free-space rows_lane) kernel; cW/cG = -6 carries the stresslet
+    # scale (2 fewer VPU plane-ops per interaction than the explicit form)
+    cWoG = jnp.asarray(-6.0, dt)
     xix = xi_ref[0, 0, :][None, :]  # [1, T]
     xiy = xi_ref[0, 1, :][None, :]
     xiz = xi_ref[0, 2, :][None, :]
@@ -83,11 +85,11 @@ def _node_kernel(xi_ref, y_ref, n_ref, w_ref, v_ref, k_ref, *, CJ, nq, vmax, T):
         ny = n_ref[0, v, 1, :][:, None]
         nz = n_ref[0, v, 2, :][:, None]
         pn = Rx * nx + Ry * ny + Rz * nz
-        w = w_ref[0, v, 0, :][:, None]  # sample weight (0 on padding)
+        w = w_ref[0, v, 0, :][:, None]  # cG * phi * JxW (0 on padding)
         wiR = w * invR
-        wgs = cG * (wiR * invR2)  # w * G dyadic scale
-        wws = (cW * pn * invR2) * (wiR * invR2)  # w * Wn scale
-        pdiag = acc(pdiag, cG * wiR)
+        wgs = wiR * invR2  # w * G dyadic scale (cG pre-folded)
+        wws = (cWoG * pn * invR2) * wgs  # w * Wn scale
+        pdiag = acc(pdiag, wiR)
         comps = (Rx, Ry, Rz)
         for i, (a, b) in enumerate(UT):
             dy = comps[a] * comps[b]
@@ -396,6 +398,10 @@ def pallas_node_blocks(
         )
     else:
         kern = _node_kernel_t if transposed else _node_kernel
+        if not transposed:
+            # rows_lane free-space kernel expects cG pre-folded into the
+            # weight table (see _node_kernel)
+            W = W * jnp.asarray(1.0 / (8.0 * math.pi), dt)
     if transposed:
         out_ik = lambda i, k: (0 * i, i, k)
         out_block = (9, T, CJ)

@@ -23,7 +23,15 @@ across frames by the stale-reuse semantics.
 Solve: block forward/backward substitution.  At step k device k solves its
 [m, m] triangular block and the m-vector is broadcast; every later device
 immediately folds it into its accumulator with an [m, m] GEMV, so the
-per-apply work is ~2 slab GEMVs — the same order as one distributed matvec.
+per-apply FLOP count is ~2 slab GEMVs — the same order as one distributed
+matvec.  Wall-time is another matter: the 2*ndev serialized block steps
+(each a psum broadcast) pay latency the single-collective matvec does not;
+on the 8-virtual-device CPU mesh the measured apply is 13-48x two matvecs
+(BENCH_SCALING.json lu_solve_vs_2_matvecs — shared-silicon worst case; on
+real chips the gap is ndev broadcast latencies).  The trade still wins
+decisively: block-Jacobi fails to converge on the monolithic system (3000+
+GMRES iterations at n=386) where the stale LU holds 1-3 iterations
+(BENCH_SCALING.json stale_lu_vs_block_jacobi).
 
 Pivoting is block-local (within the [m, m] diagonal blocks).  That is not
 full partial pivoting, but the monolithic BEM operator is dense with a

@@ -467,7 +467,12 @@ class SwimmerSimulation:
             )
             self._print_frame_checks(frame, res)
             self._save_frame(frame, euler, res, total_vel, U, sdot)
-            entry = dict(frame=frame, rigid_velocities=U.tolist())
+            entry = dict(
+                frame=frame,
+                rigid_velocities=U.tolist(),
+                iterations=res["iterations"],
+                refactored=bool(res.get("refactored", False)),
+            )
             if "flagellum_omega" in res:
                 entry["flagellum_omega"] = res["flagellum_omega"]
                 entry["motor_torque"] = res["motor_torque"]

@@ -102,12 +102,25 @@ def measure(ndev, refine, dtype):
         flat_to_slab,
         sharded_matvec_ring,
     )
-    from bemstokes_tpu.parallel.lu import slab_reorder_columns
+    from bemstokes_tpu.parallel.lu import (
+        slab_reorder_columns,
+        slab_lu_factor,
+        slab_lu_solve,
+    )
 
     A2 = slab_reorder_columns(V, n, 3, dmesh)
     x_slab = flat_to_slab(x, n, 3, dmesh)
     mv_ring = jax.jit(lambda A, v: sharded_matvec_ring(A, v, dmesh))
     t_ring = _timed(mv_ring, A2, x_slab, reps=10)
+
+    # ---- distributed stale-LU cost model (VERDICT r3 ask #4): factor once
+    # per refactorization, apply per GMRES iteration; the lu.py docstring
+    # claims apply ~ 2 slab GEMVs — measure both against the matvec ----
+    lu_fac = jax.jit(lambda A: slab_lu_factor(A, dmesh))
+    t_factor = _timed(lu_fac, A2, reps=1)
+    lu, perm = lu_fac(A2)
+    lu_sol = jax.jit(lambda l, p, b: slab_lu_solve(l, p, b, dmesh))
+    t_solve = _timed(lu_sol, lu, perm, x_slab, reps=10)
     pairs = float(n) * float(Nc)
     return dict(
         ndev=ndev,
@@ -116,7 +129,93 @@ def measure(ndev, refine, dtype):
         pairs_per_s=pairs / t_asm,
         matvec_gflops=2.0 * (3.0 * n) * (V.shape[0]) / t_mv / 1e9,
         matvec_ring_gflops=2.0 * (3.0 * n) * (V.shape[0]) / t_ring / 1e9,
+        matvec_s=t_mv,
+        matvec_ring_s=t_ring,
+        lu_factor_s=t_factor,
+        lu_solve_s=t_solve,
+        lu_solve_vs_2_matvecs=t_solve / (2.0 * t_mv),
     )
+
+
+def stale_lu_vs_block_jacobi(refines=(0, 1)):
+    """GMRES iteration counts as N grows: fresh distributed LU, STALE LU on
+    the next frame's geometry (the reference DirectPreconditioner operating
+    point), and block-Jacobi — where the once-per-refactorization O(N^3/P)
+    factor pays for itself (VERDICT r3 ask #4)."""
+    import jax.numpy as jnp
+
+    from bemstokes_tpu.config import ProblemConfig, SolverConfig
+    from bemstokes_tpu.problem import StokesBEMProblem
+    from bemstokes_tpu.parallel.solve import make_sharded_frame_step
+    from bemstokes_tpu.fem.geometry import euler_from_mesh
+
+    out = []
+    for refine in refines:
+        mesh0 = _mesh_for(refine)
+        mesh1 = read_mesh(
+            "/root/reference/tests/grid_test/sphere_translation_1.msh", dim=3
+        )
+        mesh1 = refine_uniform(mesh1, SphericalManifold(), times=refine)
+        # "ILU" maps to the distributed block-Jacobi-LU (each device's
+        # diagonal block); "Direct" is the full distributed stale-LU
+        for ptype in ("Direct", "ILU"):
+            cfg = ProblemConfig(
+                grid_type="Real",
+                force_pole="Origin",
+                solver=SolverConfig(
+                    preconditioner_type=ptype, max_steps=3000
+                ),
+            )
+            prob = StokesBEMProblem(mesh0, cfg)
+            step = make_sharded_frame_step(prob, row_mesh())
+            euler0 = prob.initial_euler()
+            euler1 = jnp.asarray(
+                euler_from_mesh(mesh1.vertices, prob.map_space)
+            )
+            sdot = prob.shape_velocities_fd(euler0, euler1)
+            _, _, i0 = step(euler0, sdot)  # Direct: fresh factorization
+            _, _, i1 = step(euler1, sdot)  # Direct: STALE factors
+            out.append(
+                dict(
+                    refine=refine,
+                    n=prob.n,
+                    precond=ptype,
+                    iters_fresh=int(i0["iterations"]),
+                    iters_stale_next_frame=int(i1["iterations"]),
+                )
+            )
+            print(
+                f"iters n={prob.n} {ptype}: fresh {out[-1]['iters_fresh']}"
+                f", next-frame {out[-1]['iters_stale_next_frame']}"
+            )
+    return out
+
+
+RING_VS_GATHER_CONCLUSION = (
+    "Reconciliation of the r3 ring-vs-gather contradiction (BENCH_SCALING "
+    "showed ring at 2.6-3.3 GFLOP/s vs gather ~12 while DIAG_DIST wall-times "
+    "showed ring 3x FASTER): the two files measured different regimes with "
+    "different harnesses — DIAG_DIST timed one eager dispatch per matvec "
+    "(dispatch overhead ~ the 2-core host's thread-switch cost, which the "
+    "ndev-step fori_loop ring amortizes differently than the one-shot "
+    "gather), while this script times jitted steady-state calls; on a "
+    "2-core host oversubscribed 8 ways both are scheduler noise past "
+    "ndev=2 (DIAG_DIST's own pure-compute control collapses identically). "
+    "This file's matvec_s/matvec_ring_s rows, measured in ONE harness, are "
+    "the numbers to use.  DEFAULT: the all-gather formulation "
+    "(parallel.sharded.sharded_matvec) — one collective of d*n*4 bytes that "
+    "XLA schedules asynchronously against the local GEMV, fastest or equal "
+    "at every virtual-mesh point and the only one measurable on 1 real "
+    "chip.  The ppermute ring (sharded_matvec_ring) is kept for real "
+    "multi-chip slices where (a) the replicated x exceeds the VMEM budget "
+    "(dn*4B per device), or (b) a profile shows the gather serializing "
+    "against the GEMV; on paper the ring hides communication once the "
+    "per-step block GEMV time (dn/ndev)^2*4B/HBM_bw exceeds the per-step "
+    "transfer (dn/ndev)*4B/ICI_bw, i.e. dn >= ndev * HBM_bw/ICI_bw "
+    "(~2*ndev on a v5e: always true at BEM sizes) — so the ring is "
+    "expected to win on real ICI and should be re-measured the first time "
+    "a multi-chip slice is available; the virtual mesh cannot decide this."
+)
 
 
 def main():
@@ -160,11 +259,24 @@ def main():
         print(
             f"overhead ndev={r['ndev']}: n={r['nodes']} "
             f"{r['pairs_per_s']:.3e} pairs/s  t1/tn {r['overhead_efficiency']:.2f} "
-            f"matvec {r['matvec_gflops']:.1f} GF/s"
+            f"matvec {r['matvec_gflops']:.1f} GF/s  "
+            f"lu_factor {r['lu_factor_s']*1e3:.0f} ms  "
+            f"lu_solve {r['lu_solve_s']*1e3:.1f} ms "
+            f"(= {r['lu_solve_vs_2_matvecs']:.1f}x 2 matvecs)"
         )
 
+    iters = stale_lu_vs_block_jacobi()
+
     with open("BENCH_SCALING.json", "w") as f:
-        json.dump(rows + overhead, f, indent=2)
+        json.dump(
+            dict(
+                rows=rows + overhead,
+                stale_lu_vs_block_jacobi=iters,
+                ring_vs_gather_conclusion=RING_VS_GATHER_CONCLUSION,
+            ),
+            f,
+            indent=2,
+        )
 
 
 if __name__ == "__main__":
