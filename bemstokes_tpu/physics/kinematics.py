@@ -101,6 +101,48 @@ def update_rotation_matrix(
     return rotation_matrix_from_quaternion(q_new)
 
 
+def update_rotation_matrix_np(Rm, omega, dt: float):
+    """Host-numpy twin of `update_rotation_matrix(..., forward_euler=True)`.
+
+    The swimmer frame loop advances a 3x3 (or 2x2) rotation once per frame;
+    dispatching that to the device costs a full RPC round trip on the TPU
+    relay (~25 ms) for microseconds of math, so the loop uses this numpy
+    version.  Kept next to the jax one and pinned to it by
+    tests/test_kinematics.py::test_numpy_twin_matches_jax."""
+    import numpy as np
+
+    Rm = np.asarray(Rm, dtype=np.float64)
+    if Rm.shape[-1] == 2:
+        ang = float(np.asarray(omega)) * dt
+        c, s = np.cos(ang), np.sin(ang)
+        return np.array([[c, -s], [s, c]]) @ Rm
+    w = np.sqrt(1.0 + Rm[0, 0] + Rm[1, 1] + Rm[2, 2]) / 2.0
+    x = 0.25 * (Rm[2, 1] - Rm[1, 2]) / w
+    y = 0.25 * (Rm[0, 2] - Rm[2, 0]) / w
+    z = 0.25 * (Rm[1, 0] - Rm[0, 1]) / w
+    q = np.array([w, x, y, z])
+    q = q / np.linalg.norm(q)
+    ox, oy, oz = (float(o) for o in np.asarray(omega))
+    qd = 0.5 * np.array(
+        [
+            -q[1] * ox - q[2] * oy - q[3] * oz,
+            q[0] * ox + q[3] * oy - q[2] * oz,
+            -q[3] * ox + q[0] * oy + q[1] * oz,
+            q[2] * ox - q[1] * oy + q[0] * oz,
+        ]
+    )
+    qn = q + dt * qd
+    qn = qn / np.linalg.norm(qn)
+    w, x, y, z = qn
+    return np.array(
+        [
+            [1.0 - 2.0 * (z * z + y * y), -2.0 * w * z + 2.0 * x * y, 2.0 * w * y + 2.0 * x * z],
+            [2.0 * w * z + 2.0 * x * y, 1.0 - 2.0 * (z * z + x * x), -2.0 * w * x + 2.0 * z * y],
+            [-2.0 * w * y + 2.0 * x * z, 2.0 * w * x + 2.0 * z * y, 1.0 - 2.0 * (x * x + y * y)],
+        ]
+    )
+
+
 def rigid_pointwise_velocities(
     rigid_velocities: jnp.ndarray,  # [R]
     N: jnp.ndarray,  # [R, n, d]

@@ -263,6 +263,11 @@ class StokesBEMProblem:
         self._jit_gmres_direct = jax.jit(self._gmres_direct_impl)
         self._jit_gmres_generic = jax.jit(self._gmres_generic_impl)
         self._jit_finish = jax.jit(self._finish_impl)
+        # fused Direct frame step: pipeline + (factor) + GMRES + finish in
+        # ONE dispatch — each separate dispatch costs a full RPC round trip
+        # on the TPU relay, and the 3-dispatch flow paid ~2 extra per frame
+        self._jit_direct_fresh = jax.jit(self._direct_fresh_impl)
+        self._jit_direct_stale = jax.jit(self._direct_stale_impl)
 
     def _gmres_solver_params(self):
         cfg = self.cfg
@@ -339,6 +344,44 @@ class StokesBEMProblem:
         return forces, wall_vel, jnp.concatenate(
             [jnp.asarray(p, A.dtype) for p in parts]
         )
+
+    def _finish_from_solve(self, A, rhs, ops, diag, x, it_dev, res_dev):
+        """Shared finish for the fused Direct steps (same packing as the
+        dispatch-per-stage path)."""
+        return self._finish_impl(
+            A,
+            x,
+            rhs,
+            ops["sel_V"],
+            diag,
+            jax.vmap(flatten)(ops["N_dual"]),
+            jax.vmap(flatten)(ops["N_dual_complete"]),
+            ops.get("N_flagellum_torque_dual"),
+            jnp.asarray(it_dev, A.dtype),
+            jnp.asarray(res_dev, A.dtype),
+        )
+
+    def _direct_fresh_impl(self, euler, sdot_flat, rotation):
+        A, rhs, ops, diag = self._pipeline(euler, sdot_flat, rotation)
+        fA = (
+            A.astype(self.preconditioner.factor_dtype)
+            if self.preconditioner.factor_dtype is not None
+            else A
+        )
+        lu, piv = jax.scipy.linalg.lu_factor(fA)
+        x, info = self._gmres_direct_impl(A, rhs, lu, piv)
+        forces, wall, packed = self._finish_from_solve(
+            A, rhs, ops, diag, x, info["iterations"], info["residual"]
+        )
+        return A, rhs, ops, forces, wall, packed, lu, piv
+
+    def _direct_stale_impl(self, euler, sdot_flat, rotation, lu, piv):
+        A, rhs, ops, diag = self._pipeline(euler, sdot_flat, rotation)
+        x, info = self._gmres_direct_impl(A, rhs, lu, piv)
+        forces, wall, packed = self._finish_from_solve(
+            A, rhs, ops, diag, x, info["iterations"], info["residual"]
+        )
+        return A, rhs, ops, forces, wall, packed
 
     def _gmres_generic_impl(self, A, rhs):
         from .la.preconditioners import build_preconditioner
@@ -535,6 +578,50 @@ class StokesBEMProblem:
         cfg = self.cfg
         if not cfg.monolithic:
             return self._solve_frame_resistance(euler, shape_velocities_flat)
+        ptype = cfg.solver.preconditioner_type
+        if (
+            not cfg.solver.solve_directly
+            and ptype == "Direct"
+            and not cfg.print_matrices
+        ):
+            # fused fresh/stale Direct step: ONE device dispatch + ONE
+            # packed scalar readback per frame (stale-reuse bookkeeping on
+            # the host exactly as before; reference refactor-on-trigger
+            # `source/bem_stokes.cc:4336-4339, 5768-5779`)
+            with timers.scope("Assemble + LAC Solve (fused)"):
+                reuse = (
+                    self.preconditioner._factors is not None
+                    and self._last_direct_iterations
+                    <= cfg.solver.refactor_iteration_trigger
+                )
+                if reuse:
+                    lu, piv = self.preconditioner._factors
+                    A, rhs, ops, forces, wall, packed_dev = (
+                        self._jit_direct_stale(
+                            euler, shape_velocities_flat, rotation, lu, piv
+                        )
+                    )
+                    refactored = False
+                else:
+                    with timers.scope("DirectPreconditioner Refactorisation"):
+                        (
+                            A,
+                            rhs,
+                            ops,
+                            forces,
+                            wall,
+                            packed_dev,
+                            lu,
+                            piv,
+                        ) = self._jit_direct_fresh(
+                            euler, shape_velocities_flat, rotation
+                        )
+                        self.preconditioner._factors = (lu, piv)
+                    refactored = True
+                packed = np.asarray(packed_dev)
+            return self._unpack_result(
+                A, rhs, ops, forces, wall, packed, refactored
+            )
         with timers.scope("Assemble") as _:
             A, rhs, ops, diag = self._jit_pipeline(
                 euler, shape_velocities_flat, rotation
@@ -655,8 +742,17 @@ class StokesBEMProblem:
                 jnp.asarray(res_dev, A.dtype),
             )
             packed = np.asarray(packed_dev)
+        return self._unpack_result(
+            A, rhs, ops, forces, wall_vel, packed, refactored
+        )
 
-        # unpack (layout documented on _finish_impl)
+    def _unpack_result(self, A, rhs, ops, forces, wall_vel, packed, refactored):
+        """Unpack the fused finish's packed scalar vector (layout documented
+        on _finish_impl) into the result dict; host-side bookkeeping for the
+        stale-LU refactor trigger and the convergence warning."""
+        cfg = self.cfg
+        d = self.dim
+        R = self.num_rigid
         o = 0
 
         def take(k):

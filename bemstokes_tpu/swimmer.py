@@ -29,12 +29,10 @@ from .mesh import read_mesh
 from .mesh.factories import add_walls_to_mesh
 from .mesh.io_vtu import write_vtu
 from .problem import StokesBEMProblem
-from .physics.rigid import flatten, unflatten
+from .physics.rigid import flatten
 from .physics.kinematics import (
     rotation_matrix_from_quaternion,
-    update_rotation_matrix,
-    rigid_pointwise_velocities,
-    integrate_displacements,
+    update_rotation_matrix_np,
 )
 
 
@@ -232,7 +230,9 @@ class SwimmerSimulation:
         euler = np.where(self.map_body_mask > 0, rotated, euler)
         if self.cfg.consider_rigid_displacements:
             euler = euler + self.state.displacements * (self.map_body_mask > 0)
-        return jnp.asarray(euler)
+        # host array: jit boundaries transfer it on use, and the per-frame
+        # output emitters can reuse it without a device pull
+        return euler
 
     # ------------------------------------------------------------------
     def shape_velocities(self, frame: int, euler_now) -> jnp.ndarray:
@@ -373,32 +373,32 @@ class SwimmerSimulation:
         )
 
     def _advance_state(self, rigid_velocities: np.ndarray, N):
+        """Advance the rigid state.  All HOST numpy: the per-frame state
+        math is a 3x3 rotation + two [n, d] einsums — on the TPU relay each
+        device dispatch/pull costs a ~25 ms RPC round trip, and the old
+        jitted version paid 3-4 of them per frame for microseconds of math
+        (the jax twins in physics.kinematics remain the jittable API)."""
         cfg = self.cfg
         d = self.problem.dim
-        U = jnp.asarray(rigid_velocities)
-        v_full, v_tr = rigid_pointwise_velocities(U, N, d, 1.0)
+        U = np.asarray(rigid_velocities)
+        N = np.asarray(N)  # [R, n, d] (one pull; callers pass device or np)
+        v_full = np.einsum("r,rnd->nd", U, N)
+        v_tr = np.einsum("r,rnd->nd", U[:d], N[:d])
         if cfg.consider_rigid_rotations:
             # 3D: quaternion forward-Euler on omega = U[3:6]; 2D: the scalar
             # rotation rate U[2] advances the 2x2 rotation exactly (the
             # reference 2D rigid machinery has num_rigid = 3 with one
             # rotation mode, `source/bem_stokes.cc:2441-2788` 2D branches)
             omega = U[d : 2 * d] if d == 3 else U[d]
-            self.state.rotation = np.asarray(
-                update_rotation_matrix(
-                    jnp.asarray(self.state.rotation),
-                    omega,
-                    cfg.time_step,
-                    forward_euler=True,
-                )
+            self.state.rotation = update_rotation_matrix_np(
+                self.state.rotation, omega, cfg.time_step
             )
         if cfg.consider_rigid_displacements:
-            self.state.displacements = np.asarray(
-                integrate_displacements(
-                    jnp.asarray(self.state.displacements),
-                    v_tr,
-                    cfg.time_step,
-                    cfg.rigid_displacement_axes,
-                )
+            mask = np.array(
+                [1.0 if e else 0.0 for e in cfg.rigid_displacement_axes]
+            )
+            self.state.displacements = (
+                self.state.displacements + cfg.time_step * v_tr * mask[None, :]
             )
         return v_full
 
@@ -438,11 +438,28 @@ class SwimmerSimulation:
                 else:
                     res = self._solve(euler, sdot)
             prev_res = res
+            # ONE batched host pull of the per-frame output fields (each
+            # separate np.asarray on a device array is its own RPC round
+            # trip through the TPU relay; N was even pulled twice)
+            ops_r = res["operators"]
+            to_pull = dict(
+                forces=res["stokes_forces"],
+                N=ops_r["N"],
+                normal=ops_r["normal"]["normal"],
+            )
+            if "shape_velocities" in res:
+                to_pull["shape_velocities"] = res["shape_velocities"]
+            pulled = jax.device_get(to_pull)
+            res["stokes_forces"] = pulled["forces"]
+            ops_r["N"] = pulled["N"]
+            ops_r["normal"]["normal"] = pulled["normal"]
+            if "shape_velocities" in pulled:
+                res["shape_velocities"] = pulled["shape_velocities"]
             U = res["rigid_velocities"]
             if cfg.solve_with_torque:
                 # the solved motor balance defines the gait velocity
                 # (reference `:4407-4410`)
-                sdot = jnp.asarray(res["shape_velocities"])
+                sdot = res["shape_velocities"]
 
             if cfg.time_integration == "Heun":
                 # predictor: advance a copy of the state, re-solve at the
@@ -453,18 +470,16 @@ class SwimmerSimulation:
                     self.state.displacements.copy(),
                     frame,
                 )
-                self._advance_state(U, jnp.asarray(res["operators"]["N"]))
+                self._advance_state(U, res["operators"]["N"])
                 euler_pred = self.euler_for_frame(frame + cfg.delta_frame)
                 sdot_pred = self.shape_velocities(frame + cfg.delta_frame, euler_pred)
                 res_pred = self._solve(euler_pred, sdot_pred)
                 self.state = saved
                 U = 0.5 * (U + res_pred["rigid_velocities"])
 
-            v_full = self._advance_state(U, jnp.asarray(res["operators"]["N"]))
+            v_full = self._advance_state(U, res["operators"]["N"])
             d = self.problem.dim
-            total_vel = np.asarray(unflatten(jnp.asarray(sdot), d)) + np.asarray(
-                v_full
-            )
+            total_vel = np.asarray(sdot).reshape(d, -1).T + v_full
             self._print_frame_checks(frame, res)
             self._save_frame(frame, euler, res, total_vel, U, sdot)
             entry = dict(
@@ -514,11 +529,13 @@ class SwimmerSimulation:
         U_origin = np.asarray(U, dtype=np.float64).copy()
         if self.cfg.force_pole == "Origin":
             return U_origin
-        pole = np.asarray(
-            self.problem.force_pole_point(
-                jnp.asarray(res["diagnostics"]["com_body"])
-            )
-        )
+        # host-side pole (a device dispatch here costs a relay round trip)
+        if self.cfg.force_pole == "Baricenter":
+            pole = np.asarray(res["diagnostics"]["com_body"])
+        else:  # "Point"
+            pole = np.asarray(
+                self.cfg.force_arbitrary_point, dtype=np.float64
+            )[: self.problem.dim]
         d = self.problem.dim
         if d == 3:
             om = U_origin[3:6]
@@ -532,8 +549,8 @@ class SwimmerSimulation:
 
     def _save_frame(self, frame, euler, res, total_vel, U, sdot):
         d = self.problem.dim
-        forces_flat = jnp.asarray(res["stokes_forces"])
-        forces = np.asarray(unflatten(forces_flat, d))
+        forces_flat = np.asarray(res["stokes_forces"])  # one device pull
+        forces = forces_flat.reshape(d, -1).T
         np.savez(
             os.path.join(self.out, f"result_{frame}.npz"),
             stokes_forces=forces,
@@ -557,7 +574,7 @@ class SwimmerSimulation:
             ops_ = res["operators"]
             N_dual = np.asarray(ops_["N_dual"])  # [R, n, d]
             N_dual_c = np.asarray(ops_["N_dual_complete"])
-            ff = np.asarray(unflatten(forces_flat, d))  # [n, d]
+            ff = forces_flat.reshape(d, -1).T  # [n, d]
             F = np.einsum("rnd,nd->r", N_dual, ff)
             F_c = np.einsum("rnd,nd->r", N_dual_c, ff)
         U_origin = self._origin_velocities(U, res)
@@ -576,12 +593,22 @@ class SwimmerSimulation:
             with open(os.path.join(self.out, "motor_torque.txt"), "a") as f:
                 f.write(f"{res['motor_torque']:.16e}\n")
         if frame % max(1, self.cfg.delta_frame) == 0:
-            from .fem.geometry import support_points
             from .mesh.dofs import subcell_connectivity
 
-            sp = np.asarray(
-                support_points(euler, self.problem.map_space, self.problem.fe_space)
-            )
+            if self.cfg.fe_degree == self.cfg.map_degree:
+                # equal spaces: the FE support points ARE the euler nodes
+                # (scatter-mean of identical values) — skip the device trip
+                sp = np.asarray(euler)
+            else:
+                from .fem.geometry import support_points
+
+                sp = np.asarray(
+                    support_points(
+                        jnp.asarray(euler),
+                        self.problem.map_space,
+                        self.problem.fe_space,
+                    )
+                )
             # degree-correct sub-celled output + the reference's field set:
             # forces, shape/total velocities, normals, rigid modes
             # (`source/bem_stokes.cc:5164-5262`)
@@ -590,15 +617,15 @@ class SwimmerSimulation:
             point_data = dict(
                 forces=forces,
                 total_velocities=total_vel,
-                shape_velocities=np.asarray(unflatten(jnp.asarray(sdot), d)),
+                shape_velocities=np.asarray(sdot).reshape(d, -1).T,
                 normals=np.asarray(ops["normal"]["normal"]),
             )
             N_modes = np.asarray(ops["N"])  # [R, n, d]
             for r in range(N_modes.shape[0]):
                 point_data[f"rigid_mode_{r}"] = N_modes[r]
             if "N_flagellum_torque" in ops:
-                point_data["rigid_flagellum"] = np.asarray(
-                    unflatten(jnp.asarray(ops["N_flagellum_torque"]), d)
+                point_data["rigid_flagellum"] = (
+                    np.asarray(ops["N_flagellum_torque"]).reshape(d, -1).T
                 )
             write_vtu(
                 os.path.join(self.out, f"stokes_{frame}.vtu"),

@@ -82,3 +82,36 @@ def test_rigid_pointwise_velocities_and_displacements():
     )
     assert np.allclose(np.asarray(disp)[:, 1], 0.0)
     assert np.allclose(np.asarray(disp)[:, 0], 0.1 * ref_tr[:, 0])
+
+
+def test_numpy_twin_matches_jax():
+    """update_rotation_matrix_np (the swimmer's host-side per-frame update)
+    must track the jax update_rotation_matrix exactly — 3D quaternion
+    forward-Euler and the exact 2D SO(2) increment."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bemstokes_tpu.physics.kinematics import (
+        update_rotation_matrix,
+        update_rotation_matrix_np,
+    )
+
+    rng = np.random.default_rng(11)
+    Rm = np.eye(3)
+    for _ in range(5):
+        omega = rng.standard_normal(3)
+        R_jax = np.asarray(
+            update_rotation_matrix(
+                jnp.asarray(Rm), jnp.asarray(omega), 0.013, forward_euler=True
+            )
+        )
+        R_np = update_rotation_matrix_np(Rm, omega, 0.013)
+        assert np.abs(R_jax - R_np).max() < 1e-14
+        Rm = R_np
+
+    R2 = np.eye(2)
+    R2_jax = np.asarray(
+        update_rotation_matrix(jnp.asarray(R2), jnp.asarray(0.3), 0.1)
+    )
+    R2_np = update_rotation_matrix_np(R2, 0.3, 0.1)
+    assert np.abs(R2_jax - R2_np).max() < 1e-15
