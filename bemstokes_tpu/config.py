@@ -178,8 +178,11 @@ class ProblemConfig:
     # run the frame-loop solves through the DISTRIBUTED step (row-sharded
     # assembly + slab corrections + distributed stale-LU GMRES over a
     # jax.sharding.Mesh spanning all visible devices/processes) — the
-    # multi-chip counterpart of the reference's MPI execution; the squirmer
-    # frozen-geometry fast path and solve_with_torque stay single-chip
+    # multi-chip counterpart of the reference's MPI execution.  Covers
+    # hanging-node meshes, solve_with_torque, the resistance strategy, and
+    # the frozen-geometry squirmer fast path (device-resident operator
+    # reuse); each matches the single-chip solve to 1e-7 (tests/
+    # test_sharded_*.py)
     distributed: bool = False
     distributed_devices: int | None = None  # None = all devices
     # numerics

@@ -375,7 +375,12 @@ def _build_sharded_operators(problem, dmesh: Mesh, euler, return_check=False):
     )
 
 
-def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
+def make_sharded_frame_step(
+    problem,
+    dmesh: Mesh,
+    return_fields: bool = False,
+    keep_frozen_pieces: bool = False,
+):
     """Build the distributed frame step for a StokesBEMProblem.
 
     Returns step(euler, sdot_flat) -> (rigid_velocities [R], euler_next,
@@ -417,6 +422,16 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
     cfg = problem.cfg
     if not cfg.monolithic:
         return make_sharded_resistance_step(problem, dmesh, return_fields)
+    if keep_frozen_pieces and (
+        cfg.solve_with_torque
+        or cfg.grid_type != "Real"
+        or cfg.solver.preconditioner_type != "Direct"
+    ):
+        raise ValueError(
+            "the frozen-geometry fast path needs grid_type='Real', no "
+            "torque unknown, and the Direct preconditioner (matching the "
+            "single-chip solve_frame_frozen semantics)"
+        )
     tables = problem.tables
     d = problem.dim
     n = problem.n
@@ -571,6 +586,17 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
             sysd["torque_mode_flat"] = torque_mode_flat
         if with_torque:
             sysd["tmp_torque"] = tmp_torque
+        if keep_frozen_pieces:
+            # frozen-geometry squirmer fast path: the per-frame rhs rebuild
+            # P_t K P_t sdot needs the double-layer slab and the projector
+            # vectors (reference squirmer branch skipping re-assembly,
+            # `source/bem_stokes.cc:5734-5759`)
+            sysd["frozen"] = dict(
+                K_slab=K_slab,
+                n_pure_f=n_pure_f,
+                Mn_pure_f=Mn_pure_f,
+                l2g=l2g_pure,
+            )
         if return_fields:
             # per-frame output fields + invariant diagnostics (the swimmer
             # frame loop's txt/VTU emitters and per-frame checks); the
@@ -792,14 +818,21 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
         sysd = build_system(euler, sdot_flat, rotation)
         fac = direct_factor(sysd)
         out = solve_and_finish(sysd, direct_apply(fac))
-        return out + (fac,)
+        return out + ((fac, sysd) if keep_frozen_pieces else (fac,))
 
     @jax.jit
     def _step_stale(euler, sdot_flat, rotation, fac):
         sysd = build_system(euler, sdot_flat, rotation)
-        return solve_and_finish(sysd, direct_apply(fac))
+        out = solve_and_finish(sysd, direct_apply(fac))
+        return out + ((sysd,) if keep_frozen_pieces else ())
 
-    state = {"factors": None, "last_iterations": 0, "refactored": False}
+    state = {
+        "factors": None,
+        "last_iterations": 0,
+        "refactored": False,
+        "sysd": None,
+    }
+    n_out = 4 if return_fields else 3
 
     def step(euler, sdot_flat, rotation=None):
         reuse = (
@@ -808,16 +841,68 @@ def make_sharded_frame_step(problem, dmesh: Mesh, return_fields: bool = False):
             <= cfg.solver.refactor_iteration_trigger
         )
         if reuse:
-            out = _step_stale(euler, sdot_flat, _rot(rotation), state["factors"])
+            full = _step_stale(
+                euler, sdot_flat, _rot(rotation), state["factors"]
+            )
+            out = tuple(full[:n_out])
+            if keep_frozen_pieces:
+                state["sysd"] = full[n_out]
             state["refactored"] = False
         else:
-            *out, fac = _step_fresh(euler, sdot_flat, _rot(rotation))
-            out = tuple(out)
-            state["factors"] = fac
+            full = _step_fresh(euler, sdot_flat, _rot(rotation))
+            out = tuple(full[:n_out])
+            state["factors"] = full[n_out]
+            if keep_frozen_pieces:
+                state["sysd"] = full[n_out + 1]
             state["refactored"] = True
         info = out[2]
         state["last_iterations"] = int(info["iterations"])
         return out
+
+    if keep_frozen_pieces:
+        # frozen-geometry squirmer fast path (reference `:5734-5759`): the
+        # operators, corrections and LU factors of the last full step are
+        # reused; only the rhs P_t K P_t sdot is rebuilt and re-solved
+        @jax.jit
+        def _step_frozen(sysd, fac, sdot_flat):
+            fz = sysd["frozen"]
+
+            def P_t(v):
+                return tangential_projector(
+                    v, fz["n_pure_f"], fz["Mn_pure_f"], fz["l2g"]
+                )
+
+            rhs_surface = P_t(
+                slab_to_flat(
+                    _slab_mv(
+                        fz["K_slab"], P_t(sdot_flat.astype(dt_num)), dmesh
+                    ),
+                    n,
+                    d,
+                    dmesh,
+                )
+            )
+            if constr_rows is not None:
+                rhs_surface = rhs_surface.at[constr_rows].set(0.0)
+            rhs = jnp.concatenate([rhs_surface, jnp.zeros((R,), dt_num)])
+            sysd2 = dict(sysd, rhs=rhs)
+            if return_fields:
+                sysd2["fields"] = dict(
+                    sysd["fields"], rhs_norm=jnp.linalg.norm(rhs)
+                )
+            return solve_and_finish(sysd2, direct_apply(fac))
+
+        def step_frozen(sdot_flat):
+            if state["sysd"] is None or state["factors"] is None:
+                raise RuntimeError(
+                    "frozen step requires one full step() call first"
+                )
+            out = _step_frozen(state["sysd"], state["factors"], sdot_flat)
+            state["last_iterations"] = int(out[2]["iterations"])
+            state["refactored"] = False
+            return out
+
+        step.frozen = step_frozen
 
     step.stale_state = state
     return step

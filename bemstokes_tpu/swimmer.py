@@ -296,18 +296,44 @@ class SwimmerSimulation:
             return self.problem.solve_frame(
                 euler, sdot, jnp.asarray(self.state.rotation)
             )
+        self._ensure_dist_step()
+        rigid_vel, _, info, fields = self._dist_step(
+            euler, sdot, jnp.asarray(self.state.rotation)
+        )
+        return self._package_dist_result(rigid_vel, info, fields)
+
+    def _ensure_dist_step(self):
+        cfg = self.cfg
         if getattr(self, "_dist_step", None) is None:
             from .parallel import row_mesh
             from .parallel.solve import make_sharded_frame_step
 
+            # frozen-geometry squirmer runs keep the operators + LU factors
+            # device-resident so later frames only rebuild the rhs
+            frozen_capable = (
+                cfg.velocity_type == "Squirmer"
+                and not cfg.squirmer_change_geometry
+                and cfg.monolithic
+                and cfg.grid_type == "Real"
+                and not cfg.solve_with_torque
+                and cfg.solver.preconditioner_type == "Direct"
+            )
             self._dist_step = make_sharded_frame_step(
                 self.problem,
                 row_mesh(cfg.distributed_devices),
                 return_fields=True,
+                keep_frozen_pieces=frozen_capable,
             )
-        rigid_vel, _, info, fields = self._dist_step(
-            euler, sdot, jnp.asarray(self.state.rotation)
-        )
+
+    def _solve_frozen_distributed(self, sdot):
+        """Distributed frozen-geometry fast path: reuse the device-resident
+        operators/factors of the previous full step, rebuild only the rhs
+        (reference squirmer branch `source/bem_stokes.cc:5734-5759`)."""
+        rigid_vel, _, info, fields = self._dist_step.frozen(sdot)
+        return self._package_dist_result(rigid_vel, info, fields)
+
+    def _package_dist_result(self, rigid_vel, info, fields):
+        cfg = self.cfg
         # pull ONLY the per-frame scalars; large fields (forces, modes,
         # normals) stay on device until the output emitters need them
         scalar_keys = [
@@ -424,16 +450,21 @@ class SwimmerSimulation:
                 euler = self.euler_for_frame(frame)
                 sdot = self.shape_velocities(frame, euler)
             # squirmer frozen-geometry fast path: reuse the operators, only
-            # rebuild the rhs (reference `source/bem_stokes.cc:5734-5759`)
+            # rebuild the rhs (reference `source/bem_stokes.cc:5734-5759`);
+            # on the distributed path the operators + LU factors stay
+            # device-resident in the sharded step's state
             frozen = (
                 cfg.velocity_type == "Squirmer"
                 and not cfg.squirmer_change_geometry
                 and cfg.monolithic
-                and not cfg.distributed  # distributed assembles each frame
                 and prev_res is not None
             )
+            if frozen and cfg.distributed:
+                frozen = getattr(self._dist_step, "frozen", None) is not None
             with timers.scope("Assemble + LAC Solve"):
-                if frozen:
+                if frozen and cfg.distributed:
+                    res = self._solve_frozen_distributed(sdot)
+                elif frozen:
                     res = self.problem.solve_frame_frozen(prev_res, sdot)
                 else:
                     res = self._solve(euler, sdot)
