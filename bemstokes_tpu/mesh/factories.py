@@ -125,6 +125,22 @@ def create_sphere(
     return mesh
 
 
+def create_cube(
+    center=(0.0, 0.0, 0.0), half_width: float = 1.0, refinements: int = 2
+) -> SurfaceMesh:
+    """Closed cube surface built in code (flat refinement, NO manifold
+    projection) — the body the reference's `Cube` grid_type / cube test
+    family runs on (`V_test_with_Green_cube.cc` etc.; deal.II hyper_cube
+    boundary).  Sharp edges and corners exercise the solid-angle correction
+    away from the smooth-surface case."""
+    sphere0 = create_sphere(
+        center=center, radius=half_width * np.sqrt(3.0), refinements=0
+    )
+    if refinements:
+        sphere0 = refine_uniform(sphere0, manifold=None, times=refinements)
+    return sphere0
+
+
 def create_body_in_code(cfg) -> SurfaceMesh:
     """The reference's `build_sphere_in_code` geometry for ImposedForce /
     ImposedVelocity / Convergence runs: one unit sphere at the origin, or two

@@ -63,13 +63,21 @@ def _mesh_for(refine):
     return refine_uniform(m, SphericalManifold(), times=refine)
 
 
+def _sync(out):
+    """Force completion with a scalar host readback: on the axon TPU relay
+    `block_until_ready` does NOT synchronize (bench.py documents the same),
+    and the execution queue is ordered so one element read drains it."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def _timed(fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -157,13 +165,20 @@ def stale_lu_vs_block_jacobi(refines=(0, 1)):
         )
         mesh1 = refine_uniform(mesh1, SphericalManifold(), times=refine)
         # "ILU" maps to the distributed block-Jacobi-LU (each device's
-        # diagonal block); "Direct" is the full distributed stale-LU
+        # diagonal block); "Direct" is the full distributed stale-LU.
+        # TPU has no f64 LuDecomposition: use the mixed-precision path
+        # there (f32 assembly + f32 factors), like the production configs
+        on_tpu = jax.devices()[0].platform != "cpu"
         for ptype in ("Direct", "ILU"):
             cfg = ProblemConfig(
                 grid_type="Real",
                 force_pole="Origin",
+                dtype="float32" if on_tpu else "float64",
                 solver=SolverConfig(
-                    preconditioner_type=ptype, max_steps=3000
+                    preconditioner_type=ptype,
+                    max_steps=3000,
+                    preconditioner_dtype="float32" if on_tpu else "same",
+                    tolerance=1e-5 if on_tpu else 1e-7,
                 ),
             )
             prob = StokesBEMProblem(mesh0, cfg)
@@ -184,6 +199,12 @@ def stale_lu_vs_block_jacobi(refines=(0, 1)):
                     iters_stale_next_frame=int(i1["iterations"]),
                 )
             )
+            if len(jax.devices()) < 2:
+                # at ndev=1 the block-Jacobi "diagonal block" IS the whole
+                # matrix, so ILU degenerates to a full LU — the comparison
+                # is only meaningful on a multi-device mesh (the virtual
+                # 8-device CPU run is the canonical table)
+                out[-1]["note"] = "ndev=1: block-Jacobi == full LU"
             print(
                 f"iters n={prob.n} {ptype}: fresh {out[-1]['iters_fresh']}"
                 f", next-frame {out[-1]['iters_stale_next_frame']}"
@@ -267,7 +288,10 @@ def main():
 
     iters = stale_lu_vs_block_jacobi()
 
-    with open("BENCH_SCALING.json", "w") as f:
+    # the virtual-mesh run is the canonical multi-device table; a real-chip
+    # run (1 device on this rig) gets its own file so it cannot clobber it
+    out_name = "BENCH_SCALING_TPU.json" if on_tpu else "BENCH_SCALING.json"
+    with open(out_name, "w") as f:
         json.dump(
             dict(
                 rows=rows + overhead,
