@@ -41,6 +41,14 @@ def _build_parser():
     common(run)
     run.add_argument("start_frame", nargs="?", type=int, default=0)
     run.add_argument("end_frame", nargs="?", type=int, default=None)
+    run.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler device trace of the frame loop into "
+        "DIR (open with TensorBoard / xprof; complements the built-in "
+        "per-phase wall-clock timers)",
+    )
 
     comp = sub.add_parser("compose", help="offline composition of saved frames")
     common(comp)
@@ -159,7 +167,20 @@ def main(argv=None):
     sim = SwimmerSimulation(cfg, output_dir=args.output_dir)
     if args.command == "run":
         end = args.end_frame if args.end_frame is not None else cfg.n_frames
-        sim.run(args.start_frame, end)
+        if getattr(args, "profile", None):
+            # device trace of the frame loop (the TPU-native analog of the
+            # reference's Teuchos timers for kernel-level analysis; the
+            # wall-clock phase table still prints at end of run)
+            import contextlib
+
+            with contextlib.ExitStack() as stack:
+                try:
+                    stack.enter_context(jax.profiler.trace(args.profile))
+                except Exception as e:  # pragma: no cover
+                    print(f"profiler unavailable: {e}", file=sys.stderr)
+                sim.run(args.start_frame, end)
+        else:
+            sim.run(args.start_frame, end)
     else:
         sim.compose(args.start_frame, args.end_frame)
     # echo the fully-expanded parameters (used_parameters_*.prm analog)

@@ -71,3 +71,33 @@ def test_dilated_sphere_imposed_torque(reference_grid_dir):
     # pure rotation response: translations and off-axis rotations vanish to
     # mesh-asymmetry level (sphere_half_refined is not exactly symmetric)
     assert np.all(np.abs(U[[0, 1, 2, 4, 5]]) < 1e-2 * abs(U[3]))
+
+
+def _square_mesh(n_per_side=8, half=1.0):
+    """Closed square boundary in 2D (line cells, counterclockwise) — the 2D
+    'cube' of the reference's V_test_with_Green_2d_cube.cc."""
+    pts = []
+    t = np.linspace(-half, half, n_per_side + 1)[:-1]
+    pts += [(x, -half) for x in t]                 # bottom, left -> right
+    pts += [(half, y) for y in t]                  # right, bottom -> top
+    pts += [(x, half) for x in -t]                 # top, right -> left
+    pts += [(-half, y) for y in -t]                # left, top -> bottom
+    V = np.asarray(pts)
+    n = len(V)
+    # CLOCKWISE traversal — the orientation convention of the reference's
+    # 2D circle meshes (circle_0.inp has negative signed area), which the
+    # line-cell normal follows
+    cells = np.stack(
+        [(np.arange(n) + 1) % n, np.arange(n)], axis=1
+    ).astype(np.int32)
+    return SurfaceMesh(V, cells, np.zeros(n, np.int32))
+
+
+def test_green_recovery_2d_square_converges():
+    sq1 = _square_mesh(8)
+    sq2 = _square_mesh(16)
+    src = (0.1, 0.2)
+    e1 = green_recovery_error(sq1, 2, src, quad_order=8, sing_order=10)
+    e2 = green_recovery_error(sq2, 2, src, quad_order=8, sing_order=10)
+    assert e1 < 0.25, e1
+    assert e2 < 0.75 * e1, (e1, e2)

@@ -269,3 +269,36 @@ def test_distributed_heun_matches_single_chip(reference_grid_dir, tmp_path):
         sim = SwimmerSimulation(cfg(dist), str(tmp_path / f"d{dist}"))
         U[dist] = np.asarray(sim.run(0, 1)[0]["rigid_velocities"])
     np.testing.assert_allclose(U[True], U[False], atol=1e-7)
+
+
+def test_sharded_q2_matches_single_chip(reference_grid_dir):
+    """Degree generality of the distributed step: a Q2 field space (the
+    sharded assembly, corrections, LU and matvec are degree-agnostic) must
+    match the single-chip Q2 solve to 1e-7."""
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    cfg = ProblemConfig(
+        grid_type="ImposedVelocity",
+        imposed_component=0,
+        force_pole="Origin",
+        fe_degree=2,
+        map_degree=2,
+        solver=SolverConfig(preconditioner_type="Direct", tolerance=1e-10),
+    )
+    prob = StokesBEMProblem(mesh, cfg)
+    assert prob.n > mesh.n_vertices  # Q2: edge + center nodes active
+    euler = prob.initial_euler()
+    sdot = jnp.zeros((3 * prob.n,))
+    res_ref = prob.solve_frame(euler, sdot)
+    F_ref = np.asarray(res_ref["rigid_forces_pole"])
+
+    from bemstokes_tpu.parallel.solve import make_sharded_frame_step as _mk
+
+    step = _mk(prob, row_mesh(), return_fields=True)
+    _, _, info, fields = step(euler, sdot)
+    assert int(info["iterations"]) <= 2
+    F = np.asarray(fields["F"])
+    assert np.abs(F - F_ref).max() / np.abs(F_ref).max() < 1e-7
+    forces = np.asarray(fields["forces"])
+    forces_ref = np.asarray(res_ref["stokes_forces"])
+    scale = max(np.abs(forces_ref).max(), 1e-30)
+    assert np.abs(forces - forces_ref).max() / scale < 1e-7
