@@ -189,6 +189,10 @@ class ProblemConfig:
     dtype: str = "float64"
     row_tile: int = 32
     cell_chunk: int = 256
+    # assembly backend: "jax" (XLA gather path, any dtype/dim) or "pallas"
+    # (the fused TPU node kernel — f32, 3D; ~2x the XLA path's throughput).
+    # f64 runs wanting the Pallas bulk should use mixed_precision_bulk
+    assembly_backend: str = "jax"
     # f64 runs on TPU: do the O(N^2) smooth bulk assembly in f32 through the
     # fused Pallas kernel, keep near/singular corrections + solve in f64
     # (ops.assemble.AssemblyConfig.mixed_bulk)

@@ -13,19 +13,159 @@ sharded multi-host variant lives in `bemstokes_tpu.parallel`.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 
+# above this row count the dense factorization auto-routes to the blocked
+# LU below: XLA's LuDecomposition custom call allocates scoped VMEM
+# proportional to the row count and dies at ~18k rows on a v5e; the blocked
+# variant is also the faster one well before that
+LU_BLOCKED_THRESHOLD = 8192
+
+
 @jax.jit
 def lu_factor_dense(A: jnp.ndarray):
+    """LU factors; auto-selects the blocked path for large matrices.  The
+    two factor kinds are distinguishable by the pivot array rank (blocked
+    stores per-block permutations [nb, B]); `lu_solve_dense` dispatches."""
+    if A.shape[0] > LU_BLOCKED_THRESHOLD:
+        return blocked_lu_factor(A)
     return jax.scipy.linalg.lu_factor(A)
 
 
 @jax.jit
 def lu_solve_dense(factors, b: jnp.ndarray):
-    return jax.scipy.linalg.lu_solve(factors, b)
+    lu, piv = factors
+    if piv.ndim == 2:
+        return blocked_lu_solve(lu, piv, b)
+    return jax.scipy.linalg.lu_solve((lu, piv), b)
+
+
+# ----------------------------------------------------------------------
+# Single-chip BLOCKED LU.  XLA's LuDecomposition custom call allocates a
+# scoped-VMEM panel proportional to the row count and FAILS above ~16k rows
+# on a v5e ("Ran out of memory in memory space vmem ... LuDecompositionBlock"
+# at f32[18438, 128]) — which caps jax.scipy.linalg.lu_factor well below
+# production BEM sizes.  This right-looking blocked factorization only ever
+# feeds [B, B] diagonal blocks to the custom call and does the trailing
+# update as a full-width masked GEMM (pure MXU work, traced-offset
+# dynamic slices, fori_loop over block columns) — the single-device cousin
+# of `parallel.lu.slab_lu_factor`.  Pivoting is block-local (within each
+# diagonal block), the same trade as the distributed LU: used as a GMRES
+# preconditioner, f64/f32-refined GMRES restores full accuracy.
+
+
+@partial(jax.jit, static_argnames=("block",))
+def blocked_lu_factor(A: jnp.ndarray, block: int = 2048):
+    """Returns (LU [np, np], perm [nb, B]) with np = n padded to a multiple
+    of the block size; padded rows/columns carry a unit diagonal.  perm[j]
+    is the block-local row permutation applied to (the whole of) block row
+    j, stored pre-applied — the same convention as `parallel.lu`."""
+    n = A.shape[0]
+    B = min(block, -(-n // 128) * 128)
+    npad = -(-n // B) * B
+    nb = npad // B
+    dt = A.dtype
+    if npad != n:
+        Ap = jnp.zeros((npad, npad), dt)
+        Ap = Ap.at[:n, :n].set(A)
+        Ap = Ap.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+        A = Ap
+    rows = jnp.arange(npad, dtype=jnp.int32)
+
+    def step(j, carry):
+        A, perms = carry
+        off = j * B
+        D = jax.lax.dynamic_slice(A, (off, off), (B, B))
+        lu_D, piv_D = jax.scipy.linalg.lu_factor(D)
+        perm_D = jax.lax.linalg.lu_pivots_to_permutation(piv_D, B)
+        # permute + factor the block row: row panel [B, npad]
+        panel = jax.lax.dynamic_slice(A, (off, 0), (B, npad))[perm_D, :]
+        L_jj = jnp.tril(lu_D, -1) + jnp.eye(B, dtype=dt)
+        solved = jax.lax.linalg.triangular_solve(
+            L_jj, panel, left_side=True, lower=True, unit_diagonal=True
+        )
+        after = rows >= off + B  # columns strictly right of the block
+        new_panel = jnp.where(after[None, :], solved, panel)
+        new_panel = jax.lax.dynamic_update_slice(new_panel, lu_D, (0, off))
+        A = jax.lax.dynamic_update_slice(A, new_panel, (off, 0))
+        # column panel: L_kj = A_kj U_jj^{-1} for rows below the block
+        U_jj = jnp.triu(lu_D)
+        colp = jax.lax.dynamic_slice(A, (0, off), (npad, B))
+        L_col = jax.lax.linalg.triangular_solve(
+            U_jj, colp, left_side=False, lower=False
+        )
+        below = rows >= off + B
+        L_col = jnp.where(below[:, None], L_col, 0.0)
+        keep = jnp.where(below[:, None], L_col, colp)
+        # trailing update FIRST (uses masked panels: L_col zero on/above the
+        # block row, U_row zero on/left of the block column, so only the
+        # trailing submatrix changes), then store the L column panel
+        U_row = jnp.where(after[None, :], new_panel, 0.0)
+        A = A - L_col @ U_row
+        A = jax.lax.dynamic_update_slice(A, keep, (0, off))
+        perms = perms.at[j].set(perm_D)
+        return A, perms
+
+    perms0 = jnp.zeros((nb, B), jnp.int32)
+    A_fin, perms = jax.lax.fori_loop(0, nb, step, (A, perms0))
+    return A_fin, perms
+
+
+@jax.jit
+def blocked_lu_solve(LU: jnp.ndarray, perms: jnp.ndarray, b: jnp.ndarray):
+    """Solve with `blocked_lu_factor` factors; b is [n] with n <= npad."""
+    npad = LU.shape[0]
+    nb, B = perms.shape
+    dt = LU.dtype
+    n = b.shape[0]
+    bp = jnp.zeros((npad,), dt).at[:n].set(b.astype(dt))
+    rows = jnp.arange(npad, dtype=jnp.int32)
+
+    # the factors store every block row pre-permuted (including its L
+    # columns), so the rhs segments are permuted up front
+    def prep(j, y):
+        off = j * B
+        seg = jax.lax.dynamic_slice(y, (off,), (B,))[perms[j]]
+        return jax.lax.dynamic_update_slice(y, seg, (off,))
+
+    y = jax.lax.fori_loop(0, nb, prep, bp)
+
+    def fwd(j, y):
+        off = j * B
+        seg = jax.lax.dynamic_slice(y, (off,), (B,))
+        D = jax.lax.dynamic_slice(LU, (off, off), (B, B))
+        L_jj = jnp.tril(D, -1) + jnp.eye(B, dtype=dt)
+        yj = jax.lax.linalg.triangular_solve(
+            L_jj, seg[:, None], left_side=True, lower=True, unit_diagonal=True
+        )[:, 0]
+        colp = jax.lax.dynamic_slice(LU, (0, off), (npad, B))
+        upd = colp @ yj
+        below = rows >= off + B  # the L column panel is zero elsewhere,
+        y = jnp.where(below, y - upd, y)  # the mask guards round-off only
+        return jax.lax.dynamic_update_slice(y, yj, (off,))
+
+    y = jax.lax.fori_loop(0, nb, fwd, y)
+
+    def bwd(t, x):
+        j = nb - 1 - t
+        off = j * B
+        seg = jax.lax.dynamic_slice(x, (off,), (B,))
+        rowp = jax.lax.dynamic_slice(LU, (off, 0), (B, npad))
+        after = rows >= off + B
+        contrib = jnp.where(after, x, 0.0)  # solved entries right of block
+        seg = seg - rowp @ contrib
+        D = jax.lax.dynamic_slice(LU, (off, off), (B, B))
+        xj = jax.lax.linalg.triangular_solve(
+            jnp.triu(D), seg[:, None], left_side=True, lower=False
+        )[:, 0]
+        return jax.lax.dynamic_update_slice(x, xj, (off,))
+
+    x = jax.lax.fori_loop(0, nb, bwd, y)
+    return x[:n].astype(b.dtype)
 
 
 @dataclasses.dataclass

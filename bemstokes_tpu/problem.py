@@ -142,6 +142,12 @@ class StokesBEMProblem:
             cell_chunk=self.cfg.cell_chunk,
             dtype=_dtype_of(self.cfg),
             mixed_bulk=self.cfg.mixed_precision_bulk,
+            backend=getattr(self.cfg, "assembly_backend", "jax"),
+            column_mode=(
+                "node"
+                if getattr(self.cfg, "assembly_backend", "jax") == "pallas"
+                else "gather"
+            ),
         )
         self.tables = build_assembly_tables(self.fe_space, self.map_space, self.asm_cfg)
 
@@ -281,10 +287,8 @@ class StokesBEMProblem:
 
         def precond(v):
             if v.dtype == fdt:
-                return jax.scipy.linalg.lu_solve((lu, piv), v)
-            return jax.scipy.linalg.lu_solve((lu, piv), v.astype(fdt)).astype(
-                v.dtype
-            )
+                return lu_solve_dense((lu, piv), v)
+            return lu_solve_dense((lu, piv), v.astype(fdt)).astype(v.dtype)
 
         return gmres(
             lambda v: A @ v,
@@ -368,7 +372,7 @@ class StokesBEMProblem:
             if self.preconditioner.factor_dtype is not None
             else A
         )
-        lu, piv = jax.scipy.linalg.lu_factor(fA)
+        lu, piv = lu_factor_dense(fA)
         x, info = self._gmres_direct_impl(A, rhs, lu, piv)
         forces, wall, packed = self._finish_from_solve(
             A, rhs, ops, diag, x, info["iterations"], info["residual"]

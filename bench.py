@@ -466,6 +466,59 @@ def main():
                 details["sphere_drag_rel_err_mixed"] = None
                 print(f"mixed accuracy path failed: {e}", file=sys.stderr)
 
+    # ---- production-scale single-chip frame: the 6k-node sphere through
+    # the FULL pipeline (assembly + corrections + monolithic system +
+    # blocked-LU Direct + GMRES).  The monolithic system is 18438^2 — past
+    # the ~16k-row cap where XLA's LuDecomposition custom call dies with a
+    # scoped-VMEM overflow, so this exercises la.direct.blocked_lu_factor
+    # (measured 0.6 s for the factor alone at this shape) ----
+    if on_tpu and os.environ.get("BENCH_BIGSOLVE", "1") == "1":
+        try:
+            from bemstokes_tpu.problem import StokesBEMProblem
+            from bemstokes_tpu.config import SolverConfig
+
+            big_cfg = ProblemConfig(
+                grid_type="ImposedVelocity",
+                imposed_component=0,
+                force_pole="Origin",
+                dtype="float32",
+                assembly_backend="pallas",  # fused node kernel for the bulk
+                row_tile=min(256, n),  # XLA fallback paths (2D/f64) tile
+                cell_chunk=min(512, Nc),
+                solver=SolverConfig(
+                    preconditioner_type="Direct", tolerance=1e-5
+                ),
+            )
+            big_prob = StokesBEMProblem(mesh, big_cfg)
+            big_euler = big_prob.initial_euler()
+            big_sdot = jnp.zeros((3 * big_prob.n,), jnp.float32)
+            t0 = time.perf_counter()
+            res_big = big_prob.solve_frame(big_euler, big_sdot)
+            t_first = time.perf_counter() - t0
+            big_prob.solve_frame(big_euler, big_sdot)  # compile stale path
+            t0 = time.perf_counter()
+            res_big = big_prob.solve_frame(big_euler, big_sdot)  # stale LU
+            t_stale = time.perf_counter() - t0
+            F = np.asarray(res_big["rigid_forces_pole"])
+            drag_err = abs(abs(F[0]) - 6 * np.pi) / (6 * np.pi)
+            details["bigsolve_nodes"] = big_prob.n
+            details["bigsolve_unknowns"] = 3 * big_prob.n + 6
+            details["bigsolve_first_frame_s"] = t_first
+            details["bigsolve_stale_frame_s"] = t_stale
+            details["bigsolve_iterations"] = res_big["iterations"]
+            details["bigsolve_drag_rel_err"] = float(drag_err)
+            print(
+                f"bigsolve[{big_prob.n} nodes, {3*big_prob.n+6} unknowns]: "
+                f"first frame (incl compile+factor) {t_first:.1f}s, stale "
+                f"frame {t_stale:.2f}s, {res_big['iterations']} iters, "
+                f"drag rel err {drag_err:.2e} (f32, Q1 flat mapping)",
+                file=sys.stderr,
+            )
+            del res_big, big_prob
+        except Exception as e:  # pragma: no cover
+            details["bigsolve_first_frame_s"] = None
+            print(f"bigsolve failed: {e}", file=sys.stderr)
+
     # ---- swimmer frame-loop cost (the two remaining BASELINE validation
     # configs with no perf numbers: the time-stepped bacterium gait with
     # motor-torque balance, and the free-surface swimmer) ----
