@@ -59,5 +59,7 @@ def test_blocked_lu_as_gmres_preconditioner():
         tol=1e-12,
         max_restarts=3,
     )
-    assert int(info["iterations"]) <= 2
+    # the stored explicit triangular inverses trade ~1 digit of factor
+    # accuracy for GEMV-only applies; a couple of iterations polish it
+    assert int(info["iterations"]) <= 3
     assert np.abs(np.asarray(A @ x - b)).max() < 1e-9
