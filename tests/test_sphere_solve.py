@@ -165,3 +165,33 @@ def test_mobility_isotropy(reference_grid_dir):
         assert abs(U[j] / U[0]) < 6e-3, U
     # mobility of a unit sphere: U = F / (6 pi mu a)
     assert abs(abs(U[0]) - 1.0 / (6 * np.pi)) / (1.0 / (6 * np.pi)) < 0.05
+
+
+def test_q0_discontinuous_elements(reference_grid_dir):
+    """Piecewise-constant (Q0) unknowns with a Q1 geometry map — the
+    reference's FE_DGQ configurations (`V_test_with_Green_2d_Q0.cc`,
+    parsed-FE Q0 options).  Collocation at cell centers keeps the full
+    pipeline (corrections, monolithic coupling, Direct solve) intact and
+    the sphere drag lands within 1% of Stokes law on the coarse mesh."""
+    import jax.numpy as jnp
+
+    from bemstokes_tpu.config import ProblemConfig, SolverConfig
+    from bemstokes_tpu.problem import StokesBEMProblem
+
+    mesh = read_mesh(f"{reference_grid_dir}/sphere_translation_0.msh", dim=3)
+    cfg = ProblemConfig(
+        grid_type="ImposedVelocity",
+        imposed_component=0,
+        force_pole="Origin",
+        fe_degree=0,
+        map_degree=1,
+        solver=SolverConfig(solve_directly=True),
+    )
+    prob = StokesBEMProblem(mesh, cfg)
+    assert prob.n == mesh.n_cells  # one node per cell
+    res = prob.solve_frame(prob.initial_euler(), jnp.zeros((3 * prob.n,)))
+    assert res["residual"] < 1e-10
+    F = np.asarray(res["rigid_forces_pole"])
+    assert abs(abs(F[0]) - 6 * np.pi) / (6 * np.pi) < 1e-2
+    # transverse components vanish by symmetry
+    assert np.all(np.abs(F[1:3]) < 1e-6 * abs(F[0]))
