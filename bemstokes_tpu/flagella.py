@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mesh.surface_mesh import SurfaceMesh
-from .mesh.refine import refine_uniform, CylindricalManifold
 
 
 @dataclasses.dataclass

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .stokeslet import stokeslet_G, stresslet_W, hypersingular_L
+from .stokeslet import stokeslet_G, stresslet_W
 
 
 def _jac(fn):

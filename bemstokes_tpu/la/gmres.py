@@ -14,7 +14,6 @@ routine serves the single-chip and the row-sharded multi-chip paths.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .direct import LUPreconditioner, lu_factor_dense, lu_solve_dense
+from .direct import LUPreconditioner
 
 
 def band_mask(A: jnp.ndarray, bandwith: int) -> jnp.ndarray:

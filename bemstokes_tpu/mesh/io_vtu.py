@@ -4,8 +4,6 @@ with point-data fields — the replacement for deal.II DataOut::write_vtu
 
 from __future__ import annotations
 
-import base64
-import struct
 
 import numpy as np
 

@@ -28,7 +28,6 @@ the inner tile computation with identical semantics.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,6 @@ from ..fem.quadrature import (
     singular_rule_line,
     gauss_1d,
     iterated_gauss_1d,
-    telles_1d,
 )
 from ..fem.reference_element import reference_element
 from ..kernels import (

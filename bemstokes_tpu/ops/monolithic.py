@@ -20,8 +20,6 @@ projected FE normal, `:3210-3212`.)
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax.numpy as jnp
 
 GRID_REAL = "Real"

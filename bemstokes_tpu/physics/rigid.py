@@ -11,7 +11,6 @@ projection solve, l2 norms).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

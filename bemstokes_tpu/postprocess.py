@@ -271,7 +271,6 @@ def sharded_evaluate_stokes_bie(
     import jax
     from functools import partial
 
-    import numpy as np
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 

@@ -15,8 +15,6 @@ The per-frame pipeline (reference `run`, `source/bem_stokes.cc:5636-5884`):
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

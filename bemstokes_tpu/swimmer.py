@@ -17,7 +17,6 @@ integration.
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 
 import jax
