@@ -279,9 +279,10 @@ def main():
         best_jax = (t_asm, 256, 512)
         for rt, cj in ((128, 512), (256, 256), (256, 1024), (512, 512)):
             try:
-                t_s, _, _, _, _ = measure_backend(
+                t_s, _c, _out, _a, _t = measure_backend(
                     "jax", row_tile=min(rt, n), cell_chunk=min(cj, Nc)
                 )
+                del _out, _t  # free the [3n, 3n] pair before the next config
                 sweep[f"rt{rt}_cj{cj}"] = pairs / t_s
                 if t_s < best_jax[0]:
                     best_jax = (t_s, rt, cj)
@@ -317,9 +318,10 @@ def main():
         try:
             # node-mode fused Pallas kernel: the column-centric pairwise
             # sweep that keeps every intermediate in VMEM (ops/pallas_node.py)
-            t_p, c_p, _, acfg_p, tables_p = measure_backend(
+            t_p, c_p, _out_p, acfg_p, tables_p = measure_backend(
                 "pallas", column_mode="node"
             )
+            del _out_p  # free the pallas V/K pair (2 x 1.4 GB at 6k nodes)
             details["panel_pairs_per_s_pallas"] = pairs / t_p
             details["pallas_compile_and_first_s"] = c_p
             print(
@@ -449,6 +451,7 @@ def main():
             details["accuracy_device"] = str(
                 jax.tree_util.tree_leaves(res["A"])[0].devices()
             )
+            del res  # drop the held operators before the big-solve section
         except Exception as e:  # pragma: no cover
             details["sphere_drag_rel_err"] = None
             print(f"accuracy gate failed to run: {e}", file=sys.stderr)
