@@ -379,9 +379,13 @@ def main():
                 "configs x 2 layouts), so the residual gap to the analytic "
                 "59-op bound is per-op issue efficiency (broadcast "
                 "materialization + 13 accumulator planes' VMEM RMW), not "
-                "scheduling; next lever would be removing the 4x node-"
-                "formulation redundancy, which trades into the measured "
-                "scatter-bound panel merge (slower end-to-end)"
+                "scheduling.  The alternative (a panel-formulation kernel "
+                "with 4x less kernel work) nets out even at best: its "
+                "node-merge alone measures 0.14 s at this shape (1.36e9 "
+                "chunked scatter-adds, 9.9 Gadd/s, measured directly on "
+                "this chip) + ~5.4 GB of pre-merge HBM writes, vs the node "
+                "kernel's 0.178 s total — the redundancy trade is the "
+                "right one."
             )
             print(
                 f"assembly roofline: {inter_rate:.3e} interactions/s vs "
