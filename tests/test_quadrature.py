@@ -150,3 +150,29 @@ def test_lagrange_line():
     el = LagrangeLine(2)
     vs = el.shape_values(el.support_points)
     assert np.allclose(vs, np.eye(3), atol=1e-13)
+
+
+def test_integrate_one_over_r_all_q2_points_order_sweep():
+    """The reference sweeps ALL Q2 support points and orders 3..19
+    (`tests/integrate_one_over_r_Q2.cc:7-30`): the singular rule must
+    converge in the order at every support point, including edge midpoints
+    and the cell center, and reach tight accuracy at high order."""
+    q2_points = [
+        (x, y) for x in (0.0, 0.5, 1.0) for y in (0.0, 0.5, 1.0)
+    ]
+    for sp in q2_points:
+        x0, y0 = sp
+        errs = []
+        for order in (4, 8, 16):
+            pts, wts = singular_rule_quad(order, np.array(sp))
+            R = np.sqrt((pts[:, 0] - x0) ** 2 + (pts[:, 1] - y0) ** 2)
+            R = np.where(R == 0, 1.0, R)
+            err = 0.0
+            for i, j in ((0, 0), (1, 0), (1, 1), (2, 1)):
+                approx = np.sum(wts * pts[:, 0] ** i * pts[:, 1] ** j / R)
+                err = max(
+                    err, abs(approx - exact_integral_one_over_r(i, j, x0, y0))
+                )
+            errs.append(err)
+        assert errs[2] < 5e-6, (sp, errs)
+        assert errs[2] <= errs[0] * 1.01, (sp, errs)  # converging in order
