@@ -6,7 +6,9 @@ preconditioner on later frames, and refactor when GMRES iteration counts blow
 past a trigger (reference `include/direct_preconditioner.h:25-27`,
 `source/bem_stokes.cc:4336-4339, 5768-5779`).
 
-On TPU the factorization is jax.scipy's blocked LU (MXU-friendly); the
+On TPU the factorization is jax.scipy's LU for small systems and this
+module's own blocked right-looking LU above LU_BLOCKED_THRESHOLD rows
+(block=1024 measured fastest at 18k: factor 0.60 s, apply 9.7 ms); the
 sharded multi-host variant lives in `bemstokes_tpu.parallel`.
 """
 
@@ -59,7 +61,7 @@ def lu_solve_dense(factors, b: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("block",))
-def blocked_lu_factor(A: jnp.ndarray, block: int = 2048):
+def blocked_lu_factor(A: jnp.ndarray, block: int = 1024):
     """Returns (LU [np, np], perm [nb, B]) with np = n padded to a multiple
     of the block size; padded rows/columns carry a unit diagonal.  perm[j]
     is the block-local row permutation applied to (the whole of) block row
