@@ -631,7 +631,20 @@ def main():
         )
         run_frames(fs_cfg, "free_surface_swimmer_heun", n_warm=2, n_timed=5)
 
-    with open("BENCH_DETAILS.json", "w") as f:
+    # a section-gated (partial) run must not clobber the canonical
+    # full-run record — it goes to its own file
+    gated = any(
+        os.environ.get(k, "1") == "0"
+        for k in (
+            "BENCH_PALLAS",
+            "BENCH_ACCURACY",
+            "BENCH_SWIMMER",
+            "BENCH_BIGSOLVE",
+            "BENCH_XLA_SWEEP",
+        )
+    ) or not on_tpu
+    out_name = "BENCH_DETAILS_PARTIAL.json" if gated else "BENCH_DETAILS.json"
+    with open(out_name, "w") as f:
         json.dump(details, f, indent=2)
 
     print(
