@@ -131,7 +131,13 @@ def blocked_lu_factor(A: jnp.ndarray, block: int = 1024):
 
 @jax.jit
 def blocked_lu_solve(LU: jnp.ndarray, perms: jnp.ndarray, b: jnp.ndarray):
-    """Solve with `blocked_lu_factor` factors; b is [n] with n <= npad."""
+    """Solve with `blocked_lu_factor` factors; b is [n] (or [n, k]: columns
+    solved via vmap, matching jax.scipy.linalg.lu_solve's 2-D contract so
+    lu_solve_dense keeps one contract on both sides of the size threshold)."""
+    if b.ndim == 2:
+        return jax.vmap(
+            lambda col: blocked_lu_solve(LU, perms, col), in_axes=1, out_axes=1
+        )(b)
     npad = LU.shape[0]
     nb, B = perms.shape
     dt = LU.dtype

@@ -328,6 +328,13 @@ def remove_anisotropy(
             if it >= len(plan):
                 break
             cuts = plan[it]
+            if len(cuts) != mesh.cells.shape[0]:
+                raise ValueError(
+                    f"remove_anisotropy plan replay: pass {it} recorded "
+                    f"{len(cuts)} cells but this frame's mesh has "
+                    f"{mesh.cells.shape[0]} — gait frame topology differs "
+                    "from the frame the plan was recorded on"
+                )
         else:
             if it >= max_iterations:
                 break

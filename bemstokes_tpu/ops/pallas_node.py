@@ -25,9 +25,11 @@ Exact R == 0 pairs (a collocation node sitting on one of its own cells'
 quadrature points) get the same dummy-offset convention as the XLA node
 path, so the singular delta correction cancels them.
 
-Free-space kernel only (dim == 3) — the O(N^2) bulk of every 3D run; image
-variants keep the XLA path.  Reference inner loop:
-`source/bem_stokes.cc:2915-2949`.
+All three 3D Green's functions are fused here: free-space (both layouts),
+and the free-surface / Blake no-slip image systems (transposed layout,
+`_node_kernel_t` with kernel="free_surface"/"no_slip") — dim == 3 only; 2D
+runs keep the XLA path.  Reference inner loop: `source/bem_stokes.cc:2915-2949`;
+image systems `source/free_surface_kernel.cc`, `source/no_slip_wall_kernel.cc`.
 """
 
 from __future__ import annotations

@@ -996,10 +996,12 @@ def make_sharded_resistance_step(
         N_dual_flat = jax.vmap(flatten)(ops["N_dual"])
         f_s, info_s = d2n(sdot_flat.astype(dt_num))
         DN_rows, iters = [], info_s["iterations"]
+        res = info_s["residual"]
         for r in range(R):
             fr, ir = d2n(N_flat[r])
             DN_rows.append(fr)
             iters = jnp.maximum(iters, ir["iterations"])
+            res = jnp.maximum(res, ir["residual"])
         DN_N = jnp.stack(DN_rows)  # [R, dn]
         res_matrix = N_dual_flat @ DN_N.T
         rhs_R = -(N_dual_flat @ f_s)
@@ -1033,9 +1035,9 @@ def make_sharded_resistance_step(
                 "pole"
             ][None, :]
             euler_next = jnp.where(body > 0, rotated, euler_next)
-        info = dict(
-            iterations=iters, residual=jnp.zeros((), dt_num)
-        )
+        # worst inner D2N residual, so _package_dist_result's convergence
+        # warning can fire when any of the R+1 V-solves fails to converge
+        info = dict(iterations=iters, residual=res)
         if not return_fields:
             return U, euler_next, info
         fields = dict(

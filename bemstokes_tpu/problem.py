@@ -104,6 +104,14 @@ class StokesBEMProblem:
         manifold=None,
     ):
         self.cfg = config or ProblemConfig()
+        if self.cfg.force_pole not in ("Origin", "Baricenter", "Point"):
+            # force_pole_point silently falls back to Origin while the
+            # swimmer's txt-output pole transform falls back to Point —
+            # reject unknown values up front so the two can never disagree
+            raise ValueError(
+                f"force_pole must be 'Origin', 'Baricenter' or 'Point', "
+                f"got {self.cfg.force_pole!r}"
+            )
         self.mesh = mesh
         self.manifold = (
             manifold if manifold is not None else _resolve_manifold(self.cfg)
@@ -707,7 +715,10 @@ class StokesBEMProblem:
             if cfg.solver.solve_directly:
                 x = lu_solve_dense(lu_factor_dense(A), rhs)
                 it_dev = jnp.ones((), A.dtype)
-                res_dev = jnp.zeros((), A.dtype)
+                # true residual: above LU_BLOCKED_THRESHOLD the blocked
+                # factorization pivots block-locally, so accuracy loss must
+                # not be silent — report ||Ax - b|| like the GMRES paths
+                res_dev = jnp.linalg.norm(A @ x - rhs)
             else:
                 ptype = cfg.solver.preconditioner_type
                 if ptype == "Direct":
