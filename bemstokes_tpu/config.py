@@ -44,6 +44,15 @@ class QuadratureConfig:
     # correction pass (None = classic single-pass at `order`)
     order_far: int | None = None
     near_panels: int = 32
+    # near-contact auto-promotion: when distinct surface components (or the
+    # surface and its wall image under an image kernel) come closer than the
+    # local panel diameter, automatically switch to the adaptive two-level
+    # scheme with the near-pair order raised by `promote_boost` (the smooth
+    # rule stops converging on quasi-singular near pairs; see
+    # mesh/proximity.py and tests/test_near_contact.py).  Only acts when
+    # `order_far` is None (an explicit adaptive config wins).
+    auto_promote: bool = True
+    promote_boost: int = 4
 
 
 @dataclasses.dataclass
@@ -185,6 +194,18 @@ class ProblemConfig:
     # test_sharded_*.py)
     distributed: bool = False
     distributed_devices: int | None = None  # None = all devices
+    # matrix-free monolithic solve: never materialize V/K/A — the GMRES
+    # matvec recomputes operator tiles on the fly (assembly-fused sweep,
+    # ops.matfree_node) plus sparse singular/near COO deltas, preconditioned
+    # by block-Jacobi of materialized diagonal node-blocks with an exact
+    # bordered Schur tail.  Escapes the materialized-operator HBM cap on a
+    # single chip (capacity model: docs/PERFORMANCE.md); matches the
+    # materialized path to 1e-7 (tests/test_matfree.py)
+    matrix_free: bool = False
+    matfree_block_nodes: int = 1024  # preconditioner diagonal-block size
+    # sweep backend override for the fused matvec: None = auto (Pallas on
+    # TPU, XLA elsewhere); "xla" | "pallas" | "pallas_interpret" for tests
+    matfree_backend: str | None = None
     # numerics
     dtype: str = "float64"
     row_tile: int = 32

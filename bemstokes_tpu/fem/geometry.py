@@ -126,35 +126,65 @@ def euler_from_mesh(
     1.3e-6 (Q2 map @ 386 nodes), 8.3e-8 (Q2 map, one more refinement),
     8.8e-10 (Q4 map @ 386 nodes)."""
     pos = map_space.node_positions(mesh_vertices)
-    if manifold is None:
-        return pos
-    mesh = map_space.mesh
-    if body_cell_mask is None:
-        from ..mesh.surface_mesh import MATERIAL_BODY
+    if manifold is not None:
+        mesh = map_space.mesh
+        if body_cell_mask is None:
+            from ..mesh.surface_mesh import MATERIAL_BODY
 
-        body_cell_mask = np.asarray(mesh.material_id) == MATERIAL_BODY
-    body_cell_mask = np.asarray(body_cell_mask, dtype=bool)
-    # nodes carried by at least one body cell are manifold nodes
-    node_on_body = np.zeros(pos.shape[0], dtype=bool)
-    node_on_body[map_space.cells_nodes[body_cell_mask].ravel()] = True
-    if getattr(manifold, "radius", None) is not None:
-        # exact analytic manifold: snap the body map nodes onto it (mesh
-        # files carry only approximate vertex positions)
-        return np.where(node_on_body[:, None], manifold.snap(pos), pos)
-    # per-cell: project this cell's map nodes through the manifold with the
-    # cell's vertices as the parent set, then scatter-mean (cells sharing a
-    # node agree because the parents share the same manifold patch)
-    body_cells = map_space.cells_nodes[body_cell_mask]  # [Nb, nl]
-    cell_nodes = pos[body_cells]  # [Nb, nl, d]
-    parents = mesh_vertices[mesh.cells[body_cell_mask]]  # [Nb, nv, d]
-    Nb, nl, d = cell_nodes.shape
-    proj = manifold.project(
-        cell_nodes.reshape(Nb * nl, d),
-        np.repeat(parents, nl, axis=0),
-    ).reshape(Nb, nl, d)
-    out = np.zeros_like(pos)
-    cnt = np.zeros((pos.shape[0], 1))
-    np.add.at(out, body_cells.ravel(), proj.reshape(-1, d))
-    np.add.at(cnt, body_cells.ravel(), 1.0)
-    snapped = out / np.where(cnt == 0, 1.0, cnt)
-    return np.where(node_on_body[:, None], snapped, pos)
+            body_cell_mask = np.asarray(mesh.material_id) == MATERIAL_BODY
+        body_cell_mask = np.asarray(body_cell_mask, dtype=bool)
+        # nodes carried by at least one body cell are manifold nodes
+        node_on_body = np.zeros(pos.shape[0], dtype=bool)
+        node_on_body[map_space.cells_nodes[body_cell_mask].ravel()] = True
+        if getattr(manifold, "radius", None) is not None:
+            # exact analytic manifold: snap the body map nodes onto it (mesh
+            # files carry only approximate vertex positions)
+            pos = np.where(node_on_body[:, None], manifold.snap(pos), pos)
+        else:
+            # per-cell: project this cell's map nodes through the manifold
+            # with the cell's vertices as the parent set, then scatter-mean
+            # (cells sharing a node agree because the parents share the same
+            # manifold patch)
+            body_cells = map_space.cells_nodes[body_cell_mask]  # [Nb, nl]
+            cell_nodes = pos[body_cells]  # [Nb, nl, d]
+            parents = mesh_vertices[mesh.cells[body_cell_mask]]
+            Nb, nl, d = cell_nodes.shape
+            proj = manifold.project(
+                cell_nodes.reshape(Nb * nl, d),
+                np.repeat(parents, nl, axis=0),
+            ).reshape(Nb, nl, d)
+            out = np.zeros_like(pos)
+            cnt = np.zeros((pos.shape[0], 1))
+            np.add.at(out, body_cells.ravel(), proj.reshape(-1, d))
+            np.add.at(cnt, body_cells.ravel(), 1.0)
+            snapped = out / np.where(cnt == 0, 1.0, cnt)
+            pos = np.where(node_on_body[:, None], snapped, pos)
+    return _distribute_map_constraints(pos, map_space)
+
+
+def _distribute_map_constraints(pos: np.ndarray, map_space: ScalarSpace):
+    """Hanging-node constraint distribution on the MAP vector: slave map
+    DoFs are interpolated from their masters, so the geometry stays
+    CONFORMING along hanging edges at any map degree (the reference's
+    constrained euler_vec — constraints built at `source/bem_stokes.cc:
+    1654-1656`, distributed onto the position vector in compute_euler
+    `:2247-2440`).  This is what lifts the old map_degree>=2 refusal on
+    refined-wall meshes: a coarse cell's polynomial edge defines the slave
+    positions instead of an exact-radius manifold snap.  No-op on
+    conforming meshes; cached per space."""
+    hc = getattr(map_space, "_hanging_cache", None)
+    if hc is None:
+        from ..mesh.constraints import hanging_node_constraints_for_space
+
+        hc = hanging_node_constraints_for_space(map_space.mesh, map_space)
+        try:
+            object.__setattr__(map_space, "_hanging_cache", hc)
+        except Exception:
+            pass
+    if hc.n == 0:
+        return pos
+    pos = np.array(pos, copy=True)
+    pos[hc.slaves] = np.einsum(
+        "hm,hmd->hd", np.asarray(hc.weights), pos[np.asarray(hc.masters)]
+    )
+    return pos

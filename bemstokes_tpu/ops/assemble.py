@@ -115,6 +115,20 @@ class AssemblyConfig:
     # best on v5e (scripts/tune_assembly.py; 256+ hits Mosaic limits)
     pallas_row_tile: int = 128
     pallas_col_chunk: int = 128
+    # q-contraction of the transposed Pallas node kernel:
+    # - "gemm": MXU GEMM against a 0/1 selection matrix over lane-major
+    #   samples (the r2-r4 formulation);
+    # - "qmajor": samples laid out q-major so the contraction is nq-1
+    #   contiguous [T, CJ] lane-slice adds — no MXU reduction;
+    # - "qmajor_per_v": additionally reduce each valence contribution
+    #   immediately, shrinking accumulator VMEM RMW traffic 16x.
+    # Measured on the v5e at the 6146-node bench shape (identical results
+    # to 2e-7): gemm 1.364e10, qmajor 1.285e10, qmajor_per_v 1.374e10
+    # interactions/s — i.e. NEITHER removing the MXU reduction NOR cutting
+    # accumulator RMW 16x moves throughput beyond relay noise, which pins
+    # the kernel's 46%-of-instruction-bound limiter to the per-valence VPU
+    # op stream itself (see BENCH_DETAILS pallas_reduce_sweep).
+    pallas_reduce: str = "gemm"
     # mixed-precision accuracy path: with dtype float64, run the O(N^2)
     # smooth BULK pass in f32 through the fused Pallas kernel and keep the
     # near-panel + singular corrections (and everything downstream) in f64.
@@ -574,20 +588,17 @@ def assemble_rows(
     return V, K
 
 
-def _assemble_rows_node(
-    euler, support_pts, xi, node_ids, r0, tables: AssemblyTables, xq, normals, jxw
-):
-    """Column-centric dense pass: gather each column node's incident panel
-    quadrature (points, normals, JxW-weighted shape value) ONCE, then run a
-    pure pairwise interaction sweep (row tile x column chunk) with no
-    gather/scatter inside the hot loop.  Own-cell (singular) contributions
-    are included here with the smooth rule and replaced by the singular path
-    via delta correction (`_add_singular_rows(subtract_smooth=True)`)."""
+def node_column_samples(tables: AssemblyTables, xq, normals, jxw):
+    """Per-column-node quadrature sample tables for the node sweep: gather
+    each node's incident panel quadrature (points, unit normals,
+    phi*JxW-weighted shape values) ONCE per frame.  Returns
+    (Yj [n, m, d], Nj [n, m, d], Wj [n, m], vmax, nq) with m = vmax*nq and
+    zero weights on incidence padding.  Shared by the assembly node pass and
+    the matrix-free fused matvec (`ops.matfree_node`)."""
     cfg = tables.cfg
     d = cfg.dim
     n = tables.n_nodes
     dt = cfg.dtype
-    nr = xi.shape[0]
     nq = xq.shape[1]
     nl = tables.nl_fe
     phi_fe = jnp.asarray(tables.phi_fe, dt)  # [nq, nl]
@@ -606,6 +617,63 @@ def _assemble_rows_node(
         wphi[cell_of], loc_of[:, :, None, None], axis=3
     )[..., 0]
     Wj = (Wj * inc_mask[:, :, None]).reshape(n, m)
+    return Yj, Nj, Wj, vmax, nq
+
+
+def node_sweep_soa(xi, Yj, Nj, Wj, *, d, nq, vmax, T, CJ, bulk_dt, q_major=False):
+    """Pad + SoA-transpose the node-sweep inputs into the Pallas program
+    layout: xi_p [n_tiles*T, d] (rows, pad 1e8), Y/N [ncj, vmax, d, CJ*nq]
+    (column samples, lane-major), W [ncj, vmax, 1, CJ*nq] (0 on padding).
+    Shared by `pallas_node_blocks` callers and the matrix-free matvec.
+
+    `q_major=False` orders lanes m = c*nq + q (column-major; the
+    q-contraction needs the 0/1 S-matrix GEMM); `q_major=True` orders
+    m = q*CJ + c, so the q-contraction becomes nq-1 CONTIGUOUS [*, CJ]
+    lane-slice adds — no MXU reduction at all (the fastest assembly-kernel
+    reduction, see `_node_kernel_t`)."""
+    n = Yj.shape[0]
+    xi_p = _pad_to_multiple(xi.astype(bulk_dt), T, 0, pad_value=1e8)
+    Y4 = _pad_to_multiple(
+        Yj.astype(bulk_dt).reshape(n, vmax, nq, d), CJ, 0, pad_value=1e8
+    )
+    N4 = _pad_to_multiple(Nj.astype(bulk_dt).reshape(n, vmax, nq, d), CJ, 0)
+    W3 = _pad_to_multiple(Wj.astype(bulk_dt).reshape(n, vmax, nq), CJ, 0)
+    ncj = Y4.shape[0] // CJ
+    # [ncj, CJ, vmax, nq, d] -> lanes (CJ, nq) or (nq, CJ)
+    lane_perm = (0, 2, 4, 3, 1) if q_major else (0, 2, 4, 1, 3)
+    w_perm = (0, 2, 3, 1) if q_major else (0, 2, 1, 3)
+    Y_soa = (
+        Y4.reshape(ncj, CJ, vmax, nq, d)
+        .transpose(*lane_perm)
+        .reshape(ncj, vmax, d, CJ * nq)
+    )
+    N_soa = (
+        N4.reshape(ncj, CJ, vmax, nq, d)
+        .transpose(*lane_perm)
+        .reshape(ncj, vmax, d, CJ * nq)
+    )
+    W_b = W3.reshape(ncj, CJ, vmax, nq).transpose(*w_perm).reshape(
+        ncj, vmax, 1, CJ * nq
+    )
+    return xi_p, Y_soa, N_soa, W_b
+
+
+def _assemble_rows_node(
+    euler, support_pts, xi, node_ids, r0, tables: AssemblyTables, xq, normals, jxw
+):
+    """Column-centric dense pass: gather each column node's incident panel
+    quadrature (points, normals, JxW-weighted shape value) ONCE, then run a
+    pure pairwise interaction sweep (row tile x column chunk) with no
+    gather/scatter inside the hot loop.  Own-cell (singular) contributions
+    are included here with the smooth rule and replaced by the singular path
+    via delta correction (`_add_singular_rows(subtract_smooth=True)`)."""
+    cfg = tables.cfg
+    d = cfg.dim
+    n = tables.n_nodes
+    dt = cfg.dtype
+    nr = xi.shape[0]
+    Yj, Nj, Wj, vmax, nq = node_column_samples(tables, xq, normals, jxw)
+    m = vmax * nq
 
     use_pallas = cfg.backend in ("pallas", "pallas_interpret") and d == 3
     if use_pallas:
@@ -634,33 +702,26 @@ def _assemble_rows_node(
             if (cfg.mixed_bulk and jnp.dtype(dt) == jnp.float64)
             else dt
         )
-        xi_p = _pad_to_multiple(xi.astype(bulk_dt), T, 0, pad_value=1e8)
-        n_tiles = xi_p.shape[0] // T
-        Y4 = _pad_to_multiple(
-            Yj.astype(bulk_dt).reshape(n, vmax, nq, d), CJ, 0, pad_value=1e8
-        )
-        N4 = _pad_to_multiple(
-            Nj.astype(bulk_dt).reshape(n, vmax, nq, d), CJ, 0
-        )
-        W3 = _pad_to_multiple(Wj.astype(bulk_dt).reshape(n, vmax, nq), CJ, 0)
-        ncj = Y4.shape[0] // CJ
-        Y_soa = (
-            Y4.reshape(ncj, CJ, vmax, nq, d)
-            .transpose(0, 2, 4, 1, 3)
-            .reshape(ncj, vmax, d, CJ * nq)
-        )
-        N_soa = (
-            N4.reshape(ncj, CJ, vmax, nq, d)
-            .transpose(0, 2, 4, 1, 3)
-            .reshape(ncj, vmax, d, CJ * nq)
-        )
-        W_b = W3.reshape(ncj, CJ, vmax, nq).transpose(0, 2, 1, 3).reshape(
-            ncj, vmax, 1, CJ * nq
-        )
         transposed = (
             _os.environ.get("BEMSTOKES_PALLAS_NODE_LAYOUT", "rows_lane")
             != "rows_sublane"
         ) or cfg.kernel != KERNEL_FREE_SPACE  # image kernels: transposed only
+        reduce = cfg.pallas_reduce if transposed else "gemm"
+        xi_p, Y_soa, N_soa, W_b = node_sweep_soa(
+            xi,
+            Yj,
+            Nj,
+            Wj,
+            d=d,
+            nq=nq,
+            vmax=vmax,
+            T=T,
+            CJ=CJ,
+            bulk_dt=bulk_dt,
+            q_major=(reduce != "gemm"),
+        )
+        n_tiles = xi_p.shape[0] // T
+        ncj = Y_soa.shape[0]
         Vb, Kb = pallas_node_blocks(
             xi_p,
             Y_soa,
@@ -675,6 +736,7 @@ def _assemble_rows_node(
             kernel=cfg.kernel,
             wall_axis=cfg.wall_axis,
             wall_position=cfg.wall_position,
+            reduce=reduce,
         )  # [9, R, C] (transposed) or [9, C, R]; R/C = padded rows/cols
 
         def blocks_to_dense(arr):
@@ -787,7 +849,21 @@ def _pair_local_blocks(cfg, euler_cells, flip, xi_rows, keep, rule, dt):
 def _add_near_corrections(V, K, euler, support_pts, xi, node_ids, tables, nr):
     """Upgrade each block row's `near_panels` nearest panels from the dense
     far rule to the full `quad_order` rule: scatter-add (hi - lo) local
-    blocks.  No-op unless adaptive quadrature is enabled.
+    blocks.  No-op unless adaptive quadrature is enabled."""
+    coo = _near_coo(euler, support_pts, xi, node_ids, tables, nr)
+    if coo is None:
+        return V, K
+    ri, ci, dV, dK = coo
+    V = V.at[ri, ci].add(dV, mode="drop")
+    K = K.at[ri, ci].add(dK, mode="drop")
+    return V, K
+
+
+def _near_coo(euler, support_pts, xi, node_ids, tables, nr):
+    """COO triplets (ri, ci, dV, dK) of the near-pair quadrature upgrade —
+    the sparse delta both the materialized scatter above and the
+    matrix-free operator (`ops.matfree`) apply.  Returns None unless
+    adaptive quadrature is enabled.
 
     This is the distance-graded quadrature the reference approximates with a
     single global order — here the dense pass runs cheap and uniform while a
@@ -795,7 +871,7 @@ def _add_near_corrections(V, K, euler, support_pts, xi, node_ids, tables, nr):
     steep (own-cell singular pairs stay with the dedicated singular path)."""
     cfg = tables.cfg
     if tables.hq_weights is None:
-        return V, K
+        return None
     d = cfg.dim
     n = tables.n_nodes
     dt = cfg.dtype
@@ -868,18 +944,35 @@ def _add_near_corrections(V, K, euler, support_pts, xi, node_ids, tables, nr):
             rows_p.reshape(n_rchunks, RC),
         ),
     )
-    V = V.at[ris.reshape(-1), cis.reshape(-1)].add(dVs.reshape(-1), mode="drop")
-    K = K.at[ris.reshape(-1), cis.reshape(-1)].add(dKs.reshape(-1), mode="drop")
-    return V, K
+    return (
+        ris.reshape(-1),
+        cis.reshape(-1),
+        dVs.reshape(-1),
+        dKs.reshape(-1),
+    )
 
 
 def _add_singular_rows(
     V, K, euler, support_pts, tables: AssemblyTables, r0, nr, subtract_smooth=False
 ):
-    """Batched singular-pair integrals: for every (cell c, local node l) the
-    collocation point is the cell's own node and the rule is the precomputed
-    per-local-node singular rule.  Contributions whose row node falls outside
-    [r0, r0+nr) are dropped (each shard keeps only its own rows).
+    """Scatter the singular COO triplets into dense (V, K)."""
+    ri, ci, dV, dK = _singular_coo(
+        euler, support_pts, tables, r0, nr, subtract_smooth=subtract_smooth
+    )
+    V = V.at[ri, ci].add(dV, mode="drop")
+    K = K.at[ri, ci].add(dK, mode="drop")
+    return V, K
+
+
+def _singular_coo(
+    euler, support_pts, tables: AssemblyTables, r0, nr, subtract_smooth=False
+):
+    """Batched singular-pair integrals as COO triplets (ri, ci, dV, dK): for
+    every (cell c, local node l) the collocation point is the cell's own node
+    and the rule is the precomputed per-local-node singular rule.
+    Contributions whose row node falls outside [r0, r0+nr) get an
+    out-of-range row index (callers scatter with mode="drop"; the
+    matrix-free operator masks them).
 
     With `subtract_smooth` (column_mode="node") the dense pass already added
     an own-cell contribution with the smooth rule; this path adds
@@ -980,6 +1073,4 @@ def _add_singular_rows(
     ci = jnp.broadcast_to(
         col_idx[:, None, None, :, :], (Nc, nl, d, d, nl)
     ).reshape(-1)
-    V = V.at[ri, ci].add(Vloc.reshape(-1), mode="drop")
-    K = K.at[ri, ci].add(Kloc.reshape(-1), mode="drop")
-    return V, K
+    return ri, ci, Vloc.reshape(-1), Kloc.reshape(-1)

@@ -142,6 +142,8 @@ def _node_kernel_t(
     kernel="free_space",
     wall_axis=1,
     wall_position=0.0,
+    reduce="gemm",
+    parts="both",
 ):
     """Transposed-plane variant: working planes [T, CJ*nq] — collocation
     rows in SUBLANES, column samples in LANES.  The column tables (y, n, w)
@@ -183,10 +185,27 @@ def _node_kernel_t(
 
     UT = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
     ORD = tuple((a, b) for a in range(3) for b in range(3))
-    acc_d = {}  # accumulated [T, CJ*nq] plane per key
+    acc_d = {}  # accumulated plane per key: [T, CJ*nq] (or [T, CJ] per-v)
 
-    def acc(key, new):
-        acc_d[key] = new if key not in acc_d else acc_d[key] + new
+    def red_qmajor(p):
+        # q-major lanes (m = q*CJ + c): the q-contraction is nq-1 contiguous
+        # [T, CJ] lane-slice adds — no MXU GEMM, no S matrix
+        out = p[:, 0:CJ]
+        for qi in range(1, nq):
+            out = out + p[:, qi * CJ : (qi + 1) * CJ]
+        return out
+
+    if reduce == "qmajor_per_v":
+        # reduce each valence contribution immediately: accumulator RMW
+        # drops from [T, CJ*nq] to [T, CJ] planes (16x less VMEM traffic)
+        def acc(key, new):
+            r = red_qmajor(new)
+            acc_d[key] = r if key not in acc_d else acc_d[key] + r
+
+    else:
+
+        def acc(key, new):
+            acc_d[key] = new if key not in acc_d else acc_d[key] + new
 
     for v in range(vmax):
         Y = [y_ref[0, v, c, :][None, :] for c in range(3)]  # [1, CJ*nq]
@@ -199,16 +218,25 @@ def _node_kernel_t(
         invR = jax.lax.rsqrt(r2)
         invR2 = invR * invR
         N = [n_ref[0, v, c, :][None, :] for c in range(3)]
-        pn = R[0] * N[0] + R[1] * N[1] + R[2] * N[2]
         w = w_ref[0, v, 0, :][None, :]  # sample weight (0 on padding)
         wiR = w * invR
-        wgs = cG * (wiR * invR2)
-        wws = (cW * pn * invR2) * (wiR * invR2)
-        acc("vd", cG * wiR)
+        if parts == "sweep_only":
+            # subtraction-profile floor: table loads + R/r2/rsqrt + ONE
+            # accumulator plane, no dyadic/kernel work (diag_pallas_profile)
+            acc("vd", cG * wiR)
+            continue
+        if parts in ("both", "k_only"):
+            pn = R[0] * N[0] + R[1] * N[1] + R[2] * N[2]
+            wws = (cW * pn * invR2) * (wiR * invR2)
+        if parts in ("both", "v_only"):
+            wgs = cG * (wiR * invR2)
+            acc("vd", cG * wiR)
         for i, (a, b) in enumerate(UT):
             dy = R[a] * R[b]
-            acc(("v", i), wgs * dy)
-            acc(("k", i), wws * dy)
+            if parts in ("both", "v_only"):
+                acc(("v", i), wgs * dy)
+            if parts in ("both", "k_only"):
+                acc(("k", i), wws * dy)
 
         if image:
             RI = list(R)
@@ -274,16 +302,32 @@ def _node_kernel_t(
                 for b in range(3):
                     acc(("kUw", b), wU * RI[b] * pnI)
 
-    S = s_ref[...]  # [CJ*nq, CJ]
-    dn = (((1,), (0,)), ((), ()))
+    if reduce == "qmajor_per_v":
+        q = acc_d  # already [T, CJ]
+    elif reduce == "qmajor":
+        q = {k: red_qmajor(p) for k, p in acc_d.items()}
+    else:
+        S = s_ref[...]  # [CJ*nq, CJ]
+        dn = (((1,), (0,)), ((), ()))
 
-    def qsum(p):  # [T, CJ*nq] -> [T, CJ]
-        return jax.lax.dot_general(
-            p, S, dimension_numbers=dn, preferred_element_type=dt,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        def qsum(p):  # [T, CJ*nq] -> [T, CJ]
+            return jax.lax.dot_general(
+                p, S, dimension_numbers=dn, preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-    q = {k: qsum(p) for k, p in acc_d.items()}
+        q = {k: qsum(p) for k, p in acc_d.items()}
+    if parts != "both":
+        # subtraction-profile variants (free-space only): absent op groups
+        # read as zeros so the output signature stays identical
+        assert kernel == "free_space"
+        _zq = jnp.zeros((T, CJ), dt)
+        q = {
+            key: q.get(key, _zq)
+            for key in [("v", i) for i in range(6)]
+            + [("k", i) for i in range(6)]
+            + ["vd"]
+        }
     sgn = [(-1.0 if a == w_ax else 1.0) for a in range(3)]  # row sign s_a
     cWn = jnp.asarray(3.0 / (4.0 * math.pi), dt)
     acc_v = [None] * 9
@@ -353,6 +397,8 @@ def _node_kernel_t(
         "kernel",
         "wall_axis",
         "wall_position",
+        "reduce",
+        "parts",
     ),
 )
 def pallas_node_blocks(
@@ -370,8 +416,22 @@ def pallas_node_blocks(
     kernel: str = "free_space",
     wall_axis: int = 1,
     wall_position: float = 0.0,
+    reduce: str = "gemm",
+    parts: str = "both",
 ):
     """Run the pairwise sweep over all (row tile, column chunk) programs.
+
+    `parts` ("both" | "v_only" | "k_only" | "sweep_only", free-space
+    transposed only) strips op groups for the subtraction profile
+    (scripts/diag_pallas_profile.py) — NOT a production mode.
+
+    `reduce` selects the q-contraction (transposed layout only): "gemm" =
+    the 0/1 S-matrix MXU GEMM over lane-major samples (m = c*nq + q);
+    "qmajor" / "qmajor_per_v" = contiguous lane-slice adds over q-major
+    samples (m = q*CJ + c; the caller must build the tables with
+    `node_sweep_soa(..., q_major=True)`), reducing at the end or per
+    valence step respectively — no MXU reduction and (per_v) 16x less
+    accumulator VMEM traffic.
 
     Each program writes its 9 dim-pair planes straight into the final
     component-major array — no [n_tiles, ncj, ...] block tensor to
@@ -390,6 +450,8 @@ def pallas_node_blocks(
     xi_tiles = xi.reshape(n_tiles, T, 3).transpose(0, 2, 1)
     tile_i = lambda i, k: (i, 0 * i, 0 * i)
     chunk_k = lambda i, k: (k, 0 * k, 0 * k, 0 * k)
+    if reduce != "gemm":
+        assert transposed, "qmajor reductions are transposed-layout only"
     if kernel != "free_space":
         assert transposed, "image kernels are implemented in the transposed layout"
         kern = partial(
@@ -397,9 +459,17 @@ def pallas_node_blocks(
             kernel=kernel,
             wall_axis=wall_axis,
             wall_position=wall_position,
+            reduce=reduce,
         )
     else:
-        kern = _node_kernel_t if transposed else _node_kernel
+        kern = (
+            partial(_node_kernel_t, reduce=reduce, parts=parts)
+            if transposed
+            else _node_kernel
+        )
+        assert parts == "both" or transposed, (
+            "subtraction-profile parts need the transposed kernel"
+        )
         if not transposed:
             # rows_lane free-space kernel expects cG pre-folded into the
             # weight table (see _node_kernel)
@@ -420,14 +490,20 @@ def pallas_node_blocks(
     ]
     inputs = [xi_tiles, Y, Nrm, W]
     if transposed:
-        # constant q-group selection matrix for the in-kernel GEMM reduction
-        S = (
-            jnp.arange(CJ * nq, dtype=jnp.int32)[:, None] // nq
-            == jnp.arange(CJ, dtype=jnp.int32)[None, :]
-        ).astype(dt)
+        if reduce == "gemm":
+            # constant q-group selection matrix for the in-kernel GEMM
+            # reduction (qmajor modes reduce by lane-slice adds instead)
+            S = (
+                jnp.arange(CJ * nq, dtype=jnp.int32)[:, None] // nq
+                == jnp.arange(CJ, dtype=jnp.int32)[None, :]
+            ).astype(dt)
+        else:
+            # dummy S slot (unused by the qmajor reductions; keeps the
+            # kernel signature uniform at negligible VMEM cost)
+            S = jnp.zeros((8, 128), dt)
         in_specs.append(
             pl.BlockSpec(
-                (CJ * nq, CJ), lambda i, k: (0 * i, 0 * i),
+                S.shape, lambda i, k: (0 * i, 0 * i),
                 memory_space=pltpu.VMEM,
             )
         )

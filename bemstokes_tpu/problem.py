@@ -134,13 +134,38 @@ class StokesBEMProblem:
                 wall_axis = int(np.argmin(np.abs(np.asarray(w0.span))))
                 wall_position = float(w0.position[wall_axis])
 
+        # near-contact quadrature auto-promotion: gap below the local panel
+        # diameter (distinct components, or the surface vs its wall image)
+        # switches to the adaptive two-level scheme with a raised near-pair
+        # order (reference counterpart: geometric refine_walls only,
+        # `source/bem_stokes.cc:1478-1519`; mesh/proximity.py)
+        quad = self.cfg.quadrature
+        q_order, q_far = quad.order, quad.order_far
+        self.quadrature_promoted = False
+        if quad.auto_promote and q_far is None:
+            from .mesh.proximity import (
+                min_intercomponent_gap,
+                wall_image_gap,
+            )
+
+            cands = []
+            g = min_intercomponent_gap(mesh)
+            if g is not None:
+                cands.append(g)
+            if kernel != KERNEL_FREE_SPACE:
+                cands.append(wall_image_gap(mesh, wall_axis, wall_position))
+            if any(gap < diam for gap, diam in cands):
+                q_far = q_order
+                q_order = q_order + quad.promote_boost
+                self.quadrature_promoted = True
+
         self.asm_cfg = AssemblyConfig(
             dim=self.dim,
             kernel=kernel,
             wall_axis=wall_axis,
             wall_position=wall_position,
-            quad_order=self.cfg.quadrature.order,
-            quad_order_far=self.cfg.quadrature.order_far,
+            quad_order=q_order,
+            quad_order_far=q_far,
             near_panels=self.cfg.quadrature.near_panels,
             singular_quadrature_order=self.cfg.quadrature.singular_order,
             singular_quadrature_type=self.cfg.quadrature.singular_type,
@@ -208,21 +233,14 @@ class StokesBEMProblem:
         from .mesh.constraints import hanging_node_constraints_for_space
 
         self.hanging = hanging_node_constraints_for_space(mesh, self.fe_space)
-        if self.hanging.n and self.cfg.map_degree != 1:
-            # a degree >= 2 map space on a non-conforming mesh has distinct
-            # coarse/fine DoFs along the hanging edge; euler_from_mesh's
-            # scatter-mean would produce gapped quadrature geometry unless an
-            # exact manifold snap closes it
-            if not (
-                self.manifold is not None
-                and getattr(self.manifold, "radius", None) is not None
-            ):
-                raise NotImplementedError(
-                    "map_degree >= 2 on meshes with hanging nodes needs an "
-                    "exact-radius body manifold (body_manifold_radius) to "
-                    "close the map along hanging edges; use map_degree=1 "
-                    "otherwise"
-                )
+        # map_degree >= 2 on non-conforming meshes needs no special gate:
+        # euler_from_mesh distributes the MAP space's hanging constraints
+        # onto the position vector (slave map DoFs interpolated from their
+        # masters), keeping the geometry conforming at any map degree with
+        # or without an analytic manifold — the reference's constrained
+        # euler_vec (`source/bem_stokes.cc:1654-1656, 2247-2440`);
+        # fem/geometry._distribute_map_constraints,
+        # tests/test_wall_refinement.py::test_q2_map_without_exact_manifold
         if self.cfg.apply_iges_to_frame or self.cfg.apply_iges_to_reference:
             # the reference gates these behind an OpenCASCADE build
             # (`BEM_STOKES_WITH_OCE`, iges manifold `source/bem_stokes.cc:
@@ -266,6 +284,7 @@ class StokesBEMProblem:
         # earlier frame is reused until a solve blows past the trigger, and
         # only then is the NEXT frame's matrix refactored
         self._last_direct_iterations = 0
+        self._matfree = None  # lazy MatfreeSolver (cfg.matrix_free)
         self._jit_pipeline = jax.jit(self._pipeline)
         self._jit_frozen_rhs = jax.jit(self._frozen_rhs)
         # jitted GMRES solvers with the operator (and any LU factors) as
@@ -328,6 +347,7 @@ class StokesBEMProblem:
         flagellum torque dual exists — imposed-rotation runs report the
         transmitted torque too, reference `:4374-4384`)."""
         cfg = self.cfg
+        Amv = A if callable(A) else (lambda v: A @ v)  # matrix-free path
         x_main = x[:-1] if cfg.solve_with_torque else x
         forces, wall_vel, rigid_vel = split_monolithic_solution(
             x_main, sel_V, self.num_rigid, cfg.assemble_scaling
@@ -335,7 +355,7 @@ class StokesBEMProblem:
         F = N_dual_flat @ forces  # rigid forces at the pole (`:4466-4476`)
         F_c = N_dual_c_flat @ forces
         parts = [
-            jnp.linalg.norm(A @ x - rhs)[None],
+            jnp.linalg.norm(Amv(x) - rhs)[None],
             jnp.linalg.norm(rhs)[None],
             rigid_vel,
             diag["mass_body"][None],
@@ -352,7 +372,7 @@ class StokesBEMProblem:
         if torque_dual is not None:
             parts += [jnp.dot(torque_dual, forces)[None]]
         return forces, wall_vel, jnp.concatenate(
-            [jnp.asarray(p, A.dtype) for p in parts]
+            [jnp.asarray(p, x.dtype) for p in parts]
         )
 
     def _finish_from_solve(self, A, rhs, ops, diag, x, it_dev, res_dev):
@@ -588,6 +608,14 @@ class StokesBEMProblem:
         cfg = self.cfg
         if not cfg.monolithic:
             return self._solve_frame_resistance(euler, shape_velocities_flat)
+        if cfg.matrix_free:
+            if self._matfree is None:
+                from .matfree import MatfreeSolver
+
+                self._matfree = MatfreeSolver(self)
+            return self._matfree.solve_frame(
+                euler, shape_velocities_flat, rotation
+            )
         ptype = cfg.solver.preconditioner_type
         if (
             not cfg.solver.solve_directly

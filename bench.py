@@ -496,35 +496,168 @@ def main():
                     preconditioner_type="Direct", tolerance=1e-5
                 ),
             )
-            big_prob = StokesBEMProblem(mesh, big_cfg)
-            big_euler = big_prob.initial_euler()
-            big_sdot = jnp.zeros((3 * big_prob.n,), jnp.float32)
-            t0 = time.perf_counter()
-            res_big = big_prob.solve_frame(big_euler, big_sdot)
-            t_first = time.perf_counter() - t0
-            big_prob.solve_frame(big_euler, big_sdot)  # compile stale path
-            t0 = time.perf_counter()
-            res_big = big_prob.solve_frame(big_euler, big_sdot)  # stale LU
-            t_stale = time.perf_counter() - t0
-            F = np.asarray(res_big["rigid_forces_pole"])
-            drag_err = abs(abs(F[0]) - 6 * np.pi) / (6 * np.pi)
-            details["bigsolve_nodes"] = big_prob.n
-            details["bigsolve_unknowns"] = 3 * big_prob.n + 6
-            details["bigsolve_first_frame_s"] = t_first
-            details["bigsolve_stale_frame_s"] = t_stale
-            details["bigsolve_iterations"] = res_big["iterations"]
-            details["bigsolve_drag_rel_err"] = float(drag_err)
-            print(
-                f"bigsolve[{big_prob.n} nodes, {3*big_prob.n+6} unknowns]: "
-                f"first frame (incl compile+factor) {t_first:.1f}s, stale "
-                f"frame {t_stale:.2f}s, {res_big['iterations']} iters, "
-                f"drag rel err {drag_err:.2e} (f32, Q1 flat mapping)",
-                file=sys.stderr,
-            )
-            del res_big, big_prob
+            import dataclasses as _dc
+
+            # the production-scale ACCURACY LADDER (VERDICT r4 ask #4):
+            # three labeled rows at the same 18,444-unknown shape separate
+            # the f32-flat operating point's error into discretization
+            # (flat Q1 -> manifold snap) and dtype (f32 -> f64 GMRES over
+            # an f32 blocked LU with the f32 Pallas bulk)
+            ladder = [
+                ("f32_flat", big_cfg),
+                (
+                    "f32_snap",
+                    _dc.replace(big_cfg, body_manifold="sphere"),
+                ),
+                (
+                    "mixed_snap",
+                    _dc.replace(
+                        big_cfg,
+                        body_manifold="sphere",
+                        dtype="float64",
+                        mixed_precision_bulk=True,
+                        assembly_backend="jax",
+                        solver=SolverConfig(
+                            preconditioner_type="Direct",
+                            preconditioner_dtype="float32",
+                            tolerance=1e-8,
+                        ),
+                    ),
+                ),
+            ]
+            for tag, cfg_v in ladder:
+                if tag != "f32_flat" and os.environ.get(
+                    "BENCH_BIGSOLVE_LADDER", "1"
+                ) != "1":
+                    break
+                big_prob = StokesBEMProblem(mesh, cfg_v)
+                big_euler = big_prob.initial_euler()
+                big_sdot = jnp.zeros(
+                    (3 * big_prob.n,),
+                    jnp.float64 if cfg_v.dtype == "float64" else jnp.float32,
+                )
+                t0 = time.perf_counter()
+                res_big = big_prob.solve_frame(big_euler, big_sdot)
+                t_first = time.perf_counter() - t0
+                big_prob.solve_frame(big_euler, big_sdot)  # compile stale
+                t0 = time.perf_counter()
+                res_big = big_prob.solve_frame(big_euler, big_sdot)  # stale
+                t_stale = time.perf_counter() - t0
+                F = np.asarray(res_big["rigid_forces_pole"])
+                drag_err = abs(abs(F[0]) - 6 * np.pi) / (6 * np.pi)
+                pre = "bigsolve" if tag == "f32_flat" else f"bigsolve_{tag}"
+                details[f"{pre}_nodes"] = big_prob.n
+                details[f"{pre}_unknowns"] = 3 * big_prob.n + 6
+                details[f"{pre}_first_frame_s"] = t_first
+                details[f"{pre}_stale_frame_s"] = t_stale
+                details[f"{pre}_iterations"] = res_big["iterations"]
+                details[f"{pre}_drag_rel_err"] = float(drag_err)
+                print(
+                    f"bigsolve[{tag}, {big_prob.n} nodes, "
+                    f"{3*big_prob.n+6} unknowns]: first frame "
+                    f"{t_first:.1f}s, stale frame {t_stale:.2f}s, "
+                    f"{res_big['iterations']} iters, drag rel err "
+                    f"{drag_err:.2e}",
+                    file=sys.stderr,
+                )
+                del res_big, big_prob
         except Exception as e:  # pragma: no cover
             details["bigsolve_first_frame_s"] = None
             print(f"bigsolve failed: {e}", file=sys.stderr)
+
+    # ---- matrix-free capacity solve: past the materialized-operator HBM
+    # cap on ONE chip (VERDICT r4 ask #1).  At refine 4 (24,578 nodes,
+    # 73,740 unknowns) a single materialized f32 operator would be 21.7 GB
+    # — more than the whole 16 GB HBM — so V/K/A are never formed: the
+    # GMRES matvec is the assembly-fused sweep (ops.matfree_node) + sparse
+    # COO deltas, preconditioned by block-Jacobi diagonal blocks with a
+    # bordered Schur tail.  Validated against Stokes law. ----
+    if on_tpu and os.environ.get("BENCH_MATFREE", "1") == "1":
+        try:
+            from bemstokes_tpu.problem import StokesBEMProblem
+            from bemstokes_tpu.config import SolverConfig
+
+            mf_refine = int(os.environ.get("BENCH_MATFREE_REFINE", "4"))
+            mf_mesh = read_mesh(
+                "/root/reference/tests/grid_test/sphere_translation_0.msh",
+                dim=3,
+            )
+            mf_mesh = refine_uniform(
+                mf_mesh, SphericalManifold(), times=mf_refine
+            )
+            mf_cfg = ProblemConfig(
+                grid_type="ImposedVelocity",
+                imposed_component=0,
+                force_pole="Origin",
+                dtype="float32",
+                body_manifold="sphere",  # manifold snap: geometry-limited
+                matrix_free=True,
+                matfree_block_nodes=1024,
+                solver=SolverConfig(
+                    preconditioner_type="Direct",
+                    preconditioner_dtype="float32",
+                    tolerance=1e-5,
+                ),
+            )
+            mf_prob = StokesBEMProblem(mf_mesh, mf_cfg)
+            mf_euler = mf_prob.initial_euler()
+            mf_sdot = jnp.zeros((3 * mf_prob.n,), jnp.float32)
+            t0 = time.perf_counter()
+            res_mf = mf_prob.solve_frame(mf_euler, mf_sdot)
+            t_first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res_mf = mf_prob.solve_frame(mf_euler, mf_sdot)
+            t_steady = time.perf_counter() - t0
+            F = np.asarray(res_mf["rigid_forces_pole"])
+            mf_drag_err = abs(abs(F[0]) - 6 * np.pi) / (6 * np.pi)
+            iters = int(res_mf["iterations"])
+            dn = 3 * mf_prob.n
+
+            # fused-matvec rate: time the implicit operator application
+            # directly (jitted; each dispatch syncs via a scalar readback)
+            mfs = mf_prob._matfree
+            sys_s, _, _ = mfs._jit_setup(
+                mf_euler, mf_sdot, jnp.eye(3, dtype=jnp.float32)
+            )
+            mv_jit = jax.jit(lambda s, x: mfs._matvec(s)(x))
+            x0 = sys_s["rhs"]
+            np.asarray(mv_jit(sys_s, x0)[0])  # compile + warm
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                np.asarray(mv_jit(sys_s, x0)[0])
+            t_mv = (time.perf_counter() - t0) / reps
+            vmax = mf_prob.tables.inc_slot.shape[1]
+            nq = len(mf_prob.tables.q_weights)
+            inter_per_s = (mf_prob.n * mf_prob.n * vmax * nq) / t_mv
+            dense_equiv_gflops = 2.0 * 2.0 * dn * dn / t_mv / 1e9
+
+            details["matfree_nodes"] = mf_prob.n
+            details["matfree_unknowns"] = dn + 6
+            details["matfree_materialized_operator_gb"] = (
+                dn * dn * 4 / 1e9
+            )
+            details["matfree_first_frame_s"] = t_first
+            details["matfree_steady_frame_s"] = t_steady
+            details["matfree_iterations"] = iters
+            details["matfree_drag_rel_err"] = float(mf_drag_err)
+            details["matfree_matvec_s"] = t_mv
+            details["matfree_matvec_interactions_per_s"] = inter_per_s
+            details["matfree_matvec_dense_equiv_gflops"] = dense_equiv_gflops
+            print(
+                f"matfree[{mf_prob.n} nodes, {dn + 6} unknowns, one "
+                f"materialized operator would be {dn*dn*4/1e9:.1f} GB]: "
+                f"first frame {t_first:.1f}s, steady {t_steady:.1f}s, "
+                f"{iters} iters, drag rel err {mf_drag_err:.2e}; fused "
+                f"matvec {t_mv*1e3:.0f} ms = {inter_per_s:.2e} "
+                f"interactions/s = {dense_equiv_gflops:.0f} dense-equiv "
+                f"GFLOP/s (V+K)",
+                file=sys.stderr,
+            )
+            del res_mf, mf_prob, sys_s
+        except Exception as e:  # pragma: no cover
+            details["matfree_first_frame_s"] = None
+            print(f"matfree capacity solve failed: {e}", file=sys.stderr)
 
     # ---- swimmer frame-loop cost (the two remaining BASELINE validation
     # configs with no perf numbers: the time-stepped bacterium gait with
@@ -640,6 +773,7 @@ def main():
             "BENCH_ACCURACY",
             "BENCH_SWIMMER",
             "BENCH_BIGSOLVE",
+            "BENCH_MATFREE",
             "BENCH_XLA_SWEEP",
         )
     ) or not on_tpu

@@ -82,28 +82,65 @@ def main():
             flush=True,
         )
 
-    # Pallas node kernel: T/CJ sweep (program tile shape)
-    for T, CJ in ((128, 128), (256, 128), (128, 256), (256, 256), (512, 128)):
-        cfg = AssemblyConfig(
-            quad_order=4,
-            row_tile=min(256, n),
-            cell_chunk=min(64, Nc),
-            dtype=dtype,
-            backend="pallas",
-            column_mode="node",
-            pallas_row_tile=T,
-            pallas_col_chunk=CJ,
-        )
-        tables = build_assembly_tables(space, space, cfg)
-        try:
-            dt_s = timed_loop(tables)
-            print(
-                f"pallas T={T} CJ={CJ}: {dt_s*1e3:.1f} ms "
-                f"{pairs/dt_s:.3e} pairs/s",
-                flush=True,
+    # Pallas node kernel: T/CJ x reduce-mode sweep (program tile shape and
+    # q-contraction strategy; qmajor_per_v shrinks accumulators 16x, which
+    # is what lets the 256-tiles fit VMEM)
+    inter = None
+    for reduce in ("gemm", "qmajor", "qmajor_per_v"):
+        for T, CJ in ((128, 128), (256, 128), (128, 256), (256, 256), (512, 128)):
+            cfg = AssemblyConfig(
+                quad_order=4,
+                row_tile=min(256, n),
+                cell_chunk=min(64, Nc),
+                dtype=dtype,
+                backend="pallas",
+                column_mode="node",
+                pallas_row_tile=T,
+                pallas_col_chunk=CJ,
+                pallas_reduce=reduce,
             )
-        except Exception as e:
-            print(f"pallas T={T} CJ={CJ}: failed {str(e)[:200]}", flush=True)
+            tables = build_assembly_tables(space, space, cfg)
+            vmax, nq = tables.inc_slot.shape[1], len(tables.q_weights)
+            inter = float(n) * float(n) * vmax * nq
+            try:
+                dt_s = timed_loop(tables)
+                print(
+                    f"pallas {reduce:13s} T={T} CJ={CJ}: {dt_s*1e3:.1f} ms "
+                    f"{pairs/dt_s:.3e} pairs/s {inter/dt_s:.3e} inter/s",
+                    flush=True,
+                )
+            except Exception as e:
+                print(
+                    f"pallas {reduce:13s} T={T} CJ={CJ}: failed "
+                    f"{str(e)[:160]}",
+                    flush=True,
+                )
+
+    # bf16-vs-f32 VPU issue-rate microbench: the bf16-dyadic-plane lever
+    # only pays if the VPU issues bf16 elementwise ops faster than f32 —
+    # measure that directly before any kernel surgery
+    for dt_v in (jnp.float32, jnp.bfloat16):
+        x = jnp.full((512, 1024), 1.000001, dt_v)
+
+        @jax.jit
+        def chain(x, k):
+            def body(i, x):
+                return x * x - x * 0.5 + x * 0.25  # 3 mul + 2 add
+            return jax.lax.fori_loop(0, k, body, x)
+
+        def t(k):
+            np.asarray(chain(x, k).astype(jnp.float32).ravel()[0])
+            t0 = time.perf_counter()
+            np.asarray(chain(x, k).astype(jnp.float32).ravel()[0])
+            return time.perf_counter() - t0
+
+        t(0)
+        dt_s = max((t(4096) - t(1024)) / 3072, 1e-12)
+        ops = 5.0 * x.size
+        print(
+            f"vpu chain {jnp.dtype(dt_v).name}: {ops/dt_s/1e12:.2f} Top/s",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

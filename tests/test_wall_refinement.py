@@ -151,3 +151,61 @@ def test_component_closedness_detection():
     )
     lab, closed = cell_components_and_closedness(refined)
     assert closed.tolist() == [True]
+
+
+def test_q2_map_without_exact_manifold():
+    """map_degree >= 2 on the refined-wall (hanging-node) mesh WITHOUT an
+    exact-radius manifold — the configuration the r4 framework refused.
+    The constraint-distributed map (fem.geometry._distribute_map_constraints,
+    reference euler_vec under constraints `source/bem_stokes.cc:1654-1656,
+    2247-2440`) keeps the geometry conforming; the drag must match the
+    exact-radius manifold-snap result.
+
+    The raw sphere_translation file's vertices sit at radii 0.998-1.037
+    (NOT on the unit sphere), so the exact-radius snap and the projection
+    manifold describe different surfaces there; the vertices are
+    pre-normalized onto the unit sphere so both configs describe the SAME
+    geometry and the comparison isolates the hanging-edge map closure."""
+
+    def drag_q2(radius):
+        cfg = ProblemConfig(
+            grid_type="ImposedVelocity",
+            imposed_component=0,
+            force_pole="Origin",
+            map_degree=2,
+            body_manifold="sphere",
+            body_manifold_radius=radius,
+            alpha_row_sum="component",
+            walls=(
+                WallConfig(
+                    enabled=True,
+                    wall_type="no_slip",
+                    position=(0.0, -H, 0.0),
+                    span=(12.0, 0.0, 12.0),
+                ),
+            ),
+            wall_refinement=WallRefinementConfig(
+                enabled=True, threshold=1.0, distance_from_center=6.0
+            ),
+            solver=SolverConfig(solve_directly=True),
+        )
+        mesh = read_mesh(SPHERE, dim=3)
+        mesh.vertices /= np.linalg.norm(mesh.vertices, axis=1)[:, None]
+        mesh = refine_uniform(mesh, SphericalManifold(), times=1)
+        mesh = add_walls_to_mesh(mesh, cfg)
+        prob = StokesBEMProblem(mesh, cfg)
+        assert prob.hanging.n > 0  # the config really has hanging nodes
+        res = prob.solve_frame(prob.initial_euler(), jnp.zeros((3 * prob.n,)))
+        F = float(
+            jnp.dot(
+                flatten(jnp.asarray(res["operators"]["N_dual"][0])),
+                res["stokes_forces"],
+            )
+        )
+        return abs(F)
+
+    F_snap = drag_q2(1.0)  # exact-radius manifold snap
+    F_proj = drag_q2(None)  # per-cell projection only (no exact radius)
+    assert abs(F_proj - F_snap) / F_snap < 5e-3, (F_proj, F_snap)
+    # and both still near the Lorentz truth
+    assert abs(F_snap - LORENTZ) / LORENTZ < 5e-2
