@@ -722,7 +722,7 @@ def _assemble_rows_node(
         )
         n_tiles = xi_p.shape[0] // T
         ncj = Y_soa.shape[0]
-        Vb, Kb = pallas_node_blocks(
+        out = pallas_node_blocks(
             xi_p,
             Y_soa,
             N_soa,
@@ -737,9 +737,16 @@ def _assemble_rows_node(
             wall_axis=cfg.wall_axis,
             wall_position=cfg.wall_position,
             reduce=reduce,
-        )  # [9, R, C] (transposed) or [9, C, R]; R/C = padded rows/cols
+        )
+        Vb, Kb = out  # [9, R, C] (transposed) or [9, C, R] rows_lane
 
         def blocks_to_dense(arr):
+            # NOTE: the planes_out=True variant (18 per-dim-pair outputs +
+            # a pure 3x3 concat here) was measured SLOWER on-chip: 184.4 ms
+            # vs this relayout's 177.9 ms at the 6146-node shape — the
+            # fragmented 18-output write costs more than the [9, R, C] ->
+            # interleaved transpose saves.  Kept as an API option on
+            # pallas_node_blocks; this stays the default.
             if not transposed:
                 arr = arr.transpose(0, 2, 1)  # -> [9, R, C]
             a = arr.reshape(3, 3, n_tiles * T, ncj * CJ)[:, :, :nr, :n]

@@ -381,6 +381,16 @@ def _node_kernel_t(
             # kT*/kU* carry (2h0^2 - 2h0 RI_w) = -beta and 2h0 resp. via
             # sign conventions handled here
             acc_k[3 * a + b] = -(kab + kimg + sgn[a] * (-Tn - Un))
+    if v_ref is None:
+        # planes_out: 18 separate [T, CJ] refs (9 V then 9 K) in k_ref —
+        # each dim-pair plane lands directly at its final (a*nr+r, b*n+c)
+        # strip, so the dense assembly is a pure 3x3 concat instead of a
+        # [9, R, C] -> interleaved relayout (measured 30 ms of the 178 ms
+        # 6k-node assembly)
+        for j in range(9):
+            k_ref[j][...] = acc_v[j]
+            k_ref[9 + j][...] = acc_k[j]
+        return
     v_ref[...] = jnp.stack(acc_v, axis=0)  # [9, T, CJ]
     k_ref[...] = jnp.stack(acc_k, axis=0)
 
@@ -399,6 +409,7 @@ def _node_kernel_t(
         "wall_position",
         "reduce",
         "parts",
+        "planes_out",
     ),
 )
 def pallas_node_blocks(
@@ -418,8 +429,15 @@ def pallas_node_blocks(
     wall_position: float = 0.0,
     reduce: str = "gemm",
     parts: str = "both",
+    planes_out: bool = False,
 ):
     """Run the pairwise sweep over all (row tile, column chunk) programs.
+
+    `planes_out` (transposed only): return (V_planes, K_planes) — two
+    lists of nine [n_tiles*T, ncj*CJ] dim-pair planes in row-major (a, b)
+    order — instead of stacked [9, R, C] arrays, so callers assemble the
+    dense operator with a pure 3x3 concat (jnp.block) rather than an
+    interleaving relayout.
 
     `parts` ("both" | "v_only" | "k_only" | "sweep_only", free-space
     transposed only) strips op groups for the subtraction profile
@@ -508,6 +526,31 @@ def pallas_node_blocks(
             )
         )
         inputs.append(S)
+    if planes_out:
+        assert transposed, "planes_out needs the transposed layout"
+        base = partial(kern, CJ=CJ, nq=nq, vmax=vmax, T=T)
+
+        def kfn(xi_r, y_r, n_r, w_r, s_r, *outs):
+            base(xi_r, y_r, n_r, w_r, s_r, None, list(outs))
+
+        plane_spec = pl.BlockSpec(
+            (T, CJ), lambda i, k: (i, k), memory_space=pltpu.VMEM
+        )
+        outs = pl.pallas_call(
+            kfn,
+            grid=(n_tiles, ncj),
+            in_specs=in_specs,
+            out_specs=[plane_spec] * 18,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles * T, ncj * CJ), dt)
+            ]
+            * 18,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(*inputs)
+        return list(outs[:9]), list(outs[9:])
     V, K = pl.pallas_call(
         partial(kern, CJ=CJ, nq=nq, vmax=vmax, T=T),
         grid=(n_tiles, ncj),

