@@ -32,6 +32,15 @@ class SolverConfig:
     # problem dtype; "float32" enables the TPU mixed-precision path (f32 LU
     # as preconditioner for f64 GMRES — TPUs have no native f64 LU)
     preconditioner_dtype: str = "same"
+    # f64 runs on TPU above this many unknowns route every [dn, dn] @ [dn]
+    # product through the split-precision GEMV (la/mixed.py: hi/lo f32 MXU
+    # passes at HIGHEST precision, f64 chunk accumulation; measured 1e-7
+    # relative at n=8192, plain-f32 speed) — XLA's
+    # emulated f64 dot materializes 8x-n^2 matrix copies and is
+    # memory-impossible at production scale (measured 35.8 GB for one
+    # 18,444-unknown pipeline).  Small validation configs below the
+    # threshold keep the bit-true emulated path.
+    split_f64_gemv_threshold: int = 8192
 
 
 @dataclasses.dataclass
@@ -203,6 +212,12 @@ class ProblemConfig:
     # materialized path to 1e-7 (tests/test_matfree.py)
     matrix_free: bool = False
     matfree_block_nodes: int = 1024  # preconditioner diagonal-block size
+    # keep the assembled V/K operators in each frame's result (needed by
+    # the frozen-geometry fast path, the resistance strategy and
+    # print_matrices).  False drops them from the jitted pipeline's outputs
+    # — at f64 production scale that is 5.4 GB of HBM residency the solve
+    # does not need (the monolithic A carries everything)
+    keep_operators: bool = True
     # sweep backend override for the fused matvec: None = auto (Pallas on
     # TPU, XLA elsewhere); "xla" | "pallas" | "pallas_interpret" for tests
     matfree_backend: str | None = None

@@ -126,7 +126,9 @@ class MatfreeSolver:
             self.h_rows = None
         self._jit_setup = jax.jit(self._setup_impl)
         self._jit_block = jax.jit(self._block_impl)
-        self._jit_solve = jax.jit(self._solve_impl)
+        self._jit_schur = jax.jit(self._schur_impl)
+        self._jit_cycle = jax.jit(self._cycle_impl)
+        self._jit_finish = jax.jit(self._finish_mf_impl)
 
     # ------------------------------------------------------------------
     def _versor_columns(self):
@@ -520,16 +522,15 @@ class MatfreeSolver:
 
         return apply
 
-    def _solve_impl(self, sys, diag, lus, pivs):
+    def _schur_impl(self, sys, lus, pivs):
+        """Bordered Schur closure over the rigid(+torque) tail: the pieces
+        the preconditioner applies every iteration, computed once."""
         p = self.p
         cfg = p.cfg
-        dn, R, RT = self.dn, self.R, self.RT
+        dn, R = self.dn, self.R
         dt = self.dt
         scale = cfg.assemble_scaling
-        mv = self._matvec(sys)
         ms_inv = self._ms_inv(lus, pivs)
-
-        # bordered Schur closure over the rigid(+torque) tail
         C_cols = [-scale * sys["tmp_N"].T]  # [dn, R]
         if self.with_torque:
             C_cols.append(-scale * sys["tmp_torque"][:, None])
@@ -552,24 +553,45 @@ class MatfreeSolver:
         B = jnp.concatenate(B_rows, axis=0)  # [RT, dn]
         MsC = jax.vmap(ms_inv, in_axes=1, out_axes=1)(C)  # [dn, RT]
         S = D - B @ MsC
-        S_f = jax.scipy.linalg.lu_factor(S)
+        S_lu, S_piv = jax.scipy.linalg.lu_factor(S)
+        return dict(B=B, MsC=MsC, S_lu=S_lu, S_piv=S_piv)
+
+    def _precond(self, pre, lus, pivs):
+        dn = self.dn
+        ms_inv = self._ms_inv(lus, pivs)
 
         def precond(v):
             vs, t = v[:dn], v[dn:]
             ys = ms_inv(vs)
-            t2 = jax.scipy.linalg.lu_solve(S_f, t - B @ ys)
-            return jnp.concatenate([ys - MsC @ t2, t2])
+            t2 = jax.scipy.linalg.lu_solve(
+                (pre["S_lu"], pre["S_piv"]), t - pre["B"] @ ys
+            )
+            return jnp.concatenate([ys - pre["MsC"] @ t2, t2])
 
-        restart, max_restarts = p._gmres_solver_params()
-        x, info = gmres(
-            mv,
+        return precond
+
+    def _cycle_impl(self, sys, pre, lus, pivs, x0):
+        """ONE restart cycle of preconditioned GMRES.  The host drives the
+        outer restart loop (solve_frame): a full multi-hundred-iteration
+        solve in a single device dispatch runs for minutes at capacity
+        scale, which the TPU relay's execution watchdog kills (measured:
+        the refine-4 bench solve crashed the worker; per-cycle dispatches
+        of ~restart matvecs survive)."""
+        restart, _ = self.p._gmres_solver_params()
+        return gmres(
+            self._matvec(sys),
             sys["rhs"],
-            precond=precond,
+            x0=x0,
+            precond=self._precond(pre, lus, pivs),
             restart=restart,
-            tol=cfg.solver.tolerance,
-            max_restarts=max_restarts,
+            tol=self.p.cfg.solver.tolerance,
+            max_restarts=1,
         )
-        forces, wall, packed = p._finish_impl(
+
+    def _finish_mf_impl(self, sys, diag, x, iters, res):
+        p = self.p
+        mv = self._matvec(sys)
+        return p._finish_impl(
             mv,
             x,
             sys["rhs"],
@@ -578,19 +600,20 @@ class MatfreeSolver:
             sys["N_dual_flat"],
             sys["N_dual_c_flat"],
             sys["torque_dual"],
-            jnp.asarray(info["iterations"], x.dtype),
-            jnp.asarray(info["residual"], x.dtype),
+            jnp.asarray(iters, x.dtype),
+            jnp.asarray(res, x.dtype),
         )
-        return forces, wall, packed
 
     # ------------------------------------------------------------------
     def solve_frame(self, euler, sdot_flat, rotation=None):
-        """Full matrix-free frame: setup sweep -> block factors -> GMRES ->
-        the standard packed finish (same result contract as the
-        materialized `solve_frame`, minus the dense A)."""
+        """Full matrix-free frame: setup sweep -> block factors -> Schur
+        tail -> host-driven restarted GMRES -> the standard packed finish
+        (same result contract as the materialized `solve_frame`, minus the
+        dense A)."""
         from .utils import timers
 
         p = self.p
+        cfg = p.cfg
         if rotation is None:
             rotation = jnp.eye(self.d, dtype=self.dt)
         with timers.scope("Matfree setup sweep"):
@@ -599,8 +622,24 @@ class MatfreeSolver:
             )
         with timers.scope("Matfree block preconditioner"):
             lus, pivs = self._build_blocks(sys)
+            pre = self._jit_schur(sys, lus, pivs)
         with timers.scope("Matfree GMRES"):
-            forces, wall, packed_dev = self._jit_solve(sys, diag, lus, pivs)
+            restart, max_restarts = p._gmres_solver_params()
+            b_norm = float(np.asarray(jnp.linalg.norm(sys["rhs"])))
+            atol = cfg.solver.tolerance * (b_norm if b_norm > 0 else 1.0)
+            x = jnp.zeros_like(sys["rhs"])
+            total_it = 0
+            res = np.inf
+            for _ in range(max_restarts):
+                x, info = self._jit_cycle(sys, pre, lus, pivs, x)
+                # ONE scalar readback per cycle (the relay sync)
+                res = float(np.asarray(info["residual"]))
+                total_it += int(np.asarray(info["iterations"]))
+                if res <= atol:
+                    break
+            forces, wall, packed_dev = self._jit_finish(
+                sys, diag, x, float(total_it), res
+            )
             packed = np.asarray(packed_dev)
         return p._unpack_result(
             None, sys["rhs"], ops, forces, wall, packed, False

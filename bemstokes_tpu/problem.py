@@ -285,6 +285,15 @@ class StokesBEMProblem:
         # only then is the NEXT frame's matrix refactored
         self._last_direct_iterations = 0
         self._matfree = None  # lazy MatfreeSolver (cfg.matrix_free)
+        # f64-at-scale on TPU: route [dn, dn] @ [dn] products through the
+        # split-precision GEMV (la/mixed.py) — XLA's emulated f64 dot is
+        # memory-impossible at production sizes (see SolverConfig)
+        dn_total = self.dim * self.n + self.num_rigid
+        self._use_split_gemv = (
+            jax.devices()[0].platform == "tpu"
+            and jnp.dtype(self.asm_cfg.dtype) == jnp.float64
+            and dn_total >= self.cfg.solver.split_f64_gemv_threshold
+        )
         self._jit_pipeline = jax.jit(self._pipeline)
         self._jit_frozen_rhs = jax.jit(self._frozen_rhs)
         # jitted GMRES solvers with the operator (and any LU factors) as
@@ -306,6 +315,16 @@ class StokesBEMProblem:
         max_restarts = max(1, -(-cfg.solver.max_steps // max(restart, 1)))
         return restart, max_restarts
 
+    def _big_gemv(self, M):
+        """Matvec closure for a [dn, dn] operator: the split-precision GEMV
+        (la/mixed.py) on the f64-at-scale TPU path — XLA's emulated f64 dot
+        materializes 8x-n^2 matrix copies — and a plain dot otherwise."""
+        if self._use_split_gemv:
+            from .la.mixed import make_split_gemv
+
+            return make_split_gemv(M)
+        return lambda v: M @ v
+
     def _gmres_direct_impl(self, A, rhs, lu, piv):
         restart, max_restarts = self._gmres_solver_params()
         fdt = lu.dtype
@@ -316,7 +335,7 @@ class StokesBEMProblem:
             return lu_solve_dense((lu, piv), v.astype(fdt)).astype(v.dtype)
 
         return gmres(
-            lambda v: A @ v,
+            self._big_gemv(A),
             rhs,
             precond=precond,
             restart=restart,
@@ -347,7 +366,7 @@ class StokesBEMProblem:
         flagellum torque dual exists — imposed-rotation runs report the
         transmitted torque too, reference `:4374-4384`)."""
         cfg = self.cfg
-        Amv = A if callable(A) else (lambda v: A @ v)  # matrix-free path
+        Amv = A if callable(A) else self._big_gemv(A)  # matrix-free: callable
         x_main = x[:-1] if cfg.solve_with_torque else x
         forces, wall_vel, rigid_vel = split_monolithic_solution(
             x_main, sel_V, self.num_rigid, cfg.assemble_scaling
@@ -423,7 +442,7 @@ class StokesBEMProblem:
             A, cfg.solver.preconditioner_type, bandwith=bw
         ).apply
         return gmres(
-            lambda v: A @ v,
+            self._big_gemv(A),
             rhs,
             precond=precond,
             restart=restart,
@@ -513,7 +532,13 @@ class StokesBEMProblem:
         l2g_pure = nv["l2_gamma_pure"]
 
         V, K = assemble_V_K(euler, sp, self.tables)
-        V, Vn_pre = v_nullspace_correction(V, n_pure_f, Mn_pure_f, l2g_pure)
+        V, Vn_pre = v_nullspace_correction(
+            V,
+            n_pure_f,
+            Mn_pure_f,
+            l2g_pure,
+            Vn=self._big_gemv(V)(n_pure_f),
+        )
         K, k_check = k_solid_angle_correction(
             K,
             n,
@@ -526,8 +551,10 @@ class StokesBEMProblem:
         def P_t(v):
             return tangential_projector(v, n_pure_f, Mn_pure_f, l2g_pure)
 
+        kmv = self._big_gemv(K)
+
         def PKP(v):
-            return P_t(K @ P_t(v))
+            return P_t(kmv(P_t(v)))
 
         N_flat = jax.vmap(flatten)(N)  # [R, d*n]
         tmp_N = jax.vmap(PKP)(N_flat)
@@ -583,8 +610,11 @@ class StokesBEMProblem:
             k_solid_angle_check=k_check,
         )
         operators = dict(
-            V=V,
-            K=K,
+            # cfg.keep_operators=False drops the dense pair from the jitted
+            # outputs (5.4 GB at f64 production scale); the frozen path and
+            # the resistance strategy need them and check for None
+            V=V if cfg.keep_operators else None,
+            K=K if cfg.keep_operators else None,
             sel_V=sel_V,
             normal=nv,
             N=N,
@@ -705,6 +735,11 @@ class StokesBEMProblem:
         grid_type == "Real" (the rhs is sdot-independent otherwise)."""
         A = prev_result["A"]
         ops = prev_result["operators"]
+        if ops.get("K") is None:
+            raise ValueError(
+                "solve_frame_frozen needs the previous frame's K operator; "
+                "run with cfg.keep_operators=True"
+            )
         diag = {k: jnp.asarray(v) for k, v in prev_result["diagnostics"].items()}
         rhs = self._jit_frozen_rhs(
             ops["K"],
@@ -722,7 +757,7 @@ class StokesBEMProblem:
         def P_t(v):
             return tangential_projector(v, n_pure_f, Mn_pure_f, l2g_pure)
 
-        rhs_surface = P_t(K @ P_t(sdot_flat.astype(dt)))
+        rhs_surface = P_t(self._big_gemv(K)(P_t(sdot_flat.astype(dt))))
         tail_len = self.num_rigid + (1 if self.cfg.solve_with_torque else 0)
         rhs = jnp.concatenate([rhs_surface, jnp.zeros((tail_len,), dt)])
         if self.hanging.n:
@@ -872,6 +907,11 @@ class StokesBEMProblem:
         from .ops.resistance import solve_resistance_system
 
         cfg = self.cfg
+        if not cfg.keep_operators:
+            raise ValueError(
+                "the resistance strategy applies V/K directly; run with "
+                "cfg.keep_operators=True"
+            )
         A, rhs, ops, diag = self._jit_pipeline(euler, shape_velocities_flat)
         nv = ops["normal"]
         N_flat = _jax.vmap(flatten)(ops["N"])

@@ -588,20 +588,30 @@ def main():
                         body_manifold="sphere",
                         dtype="float64",
                         mixed_precision_bulk=True,
-                        assembly_backend="jax",
+                        # keep the node-mode Pallas bulk: the f64 XLA
+                        # gather path's slot intermediates need 37 GB at
+                        # this shape (measured OOM); mixed_bulk runs the
+                        # O(N^2) bulk in f32 VMEM and only the
+                        # corrections + solve in f64
+                        assembly_backend="pallas",
+                        # drop the dense V/K pair from the pipeline
+                        # outputs: 5.4 GB of f64 residency the solve does
+                        # not need (measured RESOURCE_EXHAUSTED with them)
+                        keep_operators=False,
                         solver=SolverConfig(
                             preconditioner_type="Direct",
                             preconditioner_dtype="float32",
-                            tolerance=1e-8,
+                            # split-precision GEMV floor ~1e-7 relative
+                            # (la/mixed.py); 1e-6 converges comfortably
+                            tolerance=1e-6,
                         ),
                     ),
                 ),
             ]
-            for tag, cfg_v in ladder:
-                if tag != "f32_flat" and os.environ.get(
-                    "BENCH_BIGSOLVE_LADDER", "1"
-                ) != "1":
-                    break
+
+            def run_ladder_row(tag, cfg_v):
+                # function scope: device buffers (incl. a failing row's)
+                # die with the frame, so one OOM can't starve later rows
                 big_prob = StokesBEMProblem(mesh, cfg_v)
                 big_euler = big_prob.initial_euler()
                 big_sdot = jnp.zeros(
@@ -632,7 +642,20 @@ def main():
                     f"{drag_err:.2e}",
                     file=sys.stderr,
                 )
-                del res_big, big_prob
+
+            for tag, cfg_v in ladder:
+                if tag != "f32_flat" and os.environ.get(
+                    "BENCH_BIGSOLVE_LADDER", "1"
+                ) != "1":
+                    break
+                try:
+                    run_ladder_row(tag, cfg_v)
+                except Exception as e:  # pragma: no cover
+                    pre = (
+                        "bigsolve" if tag == "f32_flat" else f"bigsolve_{tag}"
+                    )
+                    details[f"{pre}_first_frame_s"] = None
+                    print(f"bigsolve[{tag}] failed: {e}", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             details["bigsolve_first_frame_s"] = None
             print(f"bigsolve failed: {e}", file=sys.stderr)
@@ -645,7 +668,8 @@ def main():
     # COO deltas, preconditioned by block-Jacobi diagonal blocks with a
     # bordered Schur tail.  Validated against Stokes law. ----
     if on_tpu and os.environ.get("BENCH_MATFREE", "1") == "1":
-        try:
+
+        def run_matfree_section():
             from bemstokes_tpu.problem import StokesBEMProblem
             from bemstokes_tpu.config import SolverConfig
 
@@ -726,7 +750,8 @@ def main():
                 f"GFLOP/s (V+K)",
                 file=sys.stderr,
             )
-            del res_mf, mf_prob, sys_s
+        try:
+            run_matfree_section()
         except Exception as e:  # pragma: no cover
             details["matfree_first_frame_s"] = None
             print(f"matfree capacity solve failed: {e}", file=sys.stderr)

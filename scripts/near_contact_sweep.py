@@ -3,8 +3,9 @@
 Sweeps the sphere-above-wall gap h/a = 1.0 -> 0.1 (H = 2.0 -> 1.1, plus
 1.05/1.02 in the refine-limited regime) under the Blake no-slip image
 kernel against Brenner's exact perpendicular-drag series, at three
-quadrature configurations (cheap far rule, cheap+auto-promoted,
-uniform full order), recording relative error AND wall time per solve.
+quadrature configurations (cheap far rule, cheap+auto-promoted, uniform
+high order — order 6: the order-8 dense Pallas kernel (nq=64) exceeds
+the relay compiler, and order 6 == order 8 to <1e-4 on these configs), recording relative error AND wall time per solve.
 
     python scripts/near_contact_sweep.py          # real chip (f32)
     JAX_PLATFORMS=cpu python scripts/near_contact_sweep.py
@@ -59,7 +60,7 @@ def main():
         for qc, tag in [
             (QuadratureConfig(order=2, auto_promote=False), "far2"),
             (QuadratureConfig(order=2, auto_promote=True, promote_boost=6), "far2+auto"),
-            (QuadratureConfig(order=8, auto_promote=False), "uniform8"),
+            (QuadratureConfig(order=6, auto_promote=False), "uniform6"),
         ]:
             cfg = ProblemConfig(
                 grid_type="ImposedVelocity",
@@ -113,10 +114,11 @@ def main():
     out = "NEAR_CONTACT_TPU.json" if on_tpu else "NEAR_CONTACT_CPU.json"
     conclusion = (
         "Measured conclusion: down to gap ~0.2a the solver tracks the exact "
-        "Brenner curve with mesh-resolution-limited error (order 2 == order "
-        "8 to <1e-3 relative), and the auto-promoted cheap far rule "
-        "(far2+auto) recovers the uniform8 answer at a fraction of its "
-        "dense cost; below gap ~0.1a the error is purely geometric "
+        "Brenner curve with mesh-resolution-limited error (order 2 == "
+        "uniform high order to <1e-3 relative), and the auto-promoted cheap "
+        "far rule (far2+auto) recovers the uniform-high-order answer at a "
+        "fraction of its dense cost; below gap ~0.1a the error is purely "
+        "geometric "
         "discretization (all three quadrature configs agree with each "
         "other but not with the exact curve) — the fix there is local "
         "refinement, not quadrature order."

@@ -233,3 +233,26 @@ def test_pallas_matvec_kernel_parity(kernel):
     Vx, Kx = sweep_matvec(st_x, arrs_x, XV, XK)
     assert _rel(Vp, Vx) < 2e-5
     assert _rel(Kp, Kx) < 2e-5
+
+
+def test_split_f64_gemv():
+    """The TPU split-precision GEMV (la/mixed.py) against the true f64
+    product: representation split exact to ~eps_f32^2, chunked f64
+    accumulation (on CPU the XLA f32 dot already accumulates pairwise, so
+    the tolerance checks the formulation, not the TPU win — the on-chip
+    numbers (1.0e-7 vs plain-f32 1.5e-7 at n=8192, plain-f32 speed, no
+    8x-n^2 emulation copies) are recorded in la/mixed.py)."""
+    from bemstokes_tpu.la.mixed import split_f64, split_gemv
+
+    rng = np.random.default_rng(5)
+    n, m = 700, 1100  # non-multiple of the chunk: exercises padding
+    A = jnp.asarray(rng.standard_normal((n, m)))
+    v = jnp.asarray(rng.standard_normal(m))
+    Ah, Al = split_f64(A, chunk=256)
+    y = split_gemv(Ah, Al, v, chunk=256)
+    y0 = A @ v
+    assert float(jnp.linalg.norm(y - y0) / jnp.linalg.norm(y0)) < 1e-6
+    # split is exact: hi + lo reconstructs A to f64
+    assert float(
+        jnp.abs(Ah[:, :m].astype(jnp.float64) + Al[:, :m].astype(jnp.float64) - A).max()
+    ) < 1e-12
