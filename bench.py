@@ -692,7 +692,17 @@ def main():
                 solver=SolverConfig(
                     preconditioner_type="Direct",
                     preconditioner_dtype="float32",
-                    tolerance=1e-5,
+                    # restart 25: each host-driven cycle is one ~20 s
+                    # device dispatch — a ~100 s restart-100 cycle (let
+                    # alone a monolithic full solve) trips the relay's
+                    # execution watchdog and kills the TPU worker
+                    # (measured).  tol 3e-5: the f32 restarted-GMRES
+                    # residual floor at this scale measures ~2.7e-5 while
+                    # the drag error is discretization-limited at ~2e-4
+                    # regardless; max_steps 200 bounds the stagnation tail.
+                    gmres_restart=25,
+                    tolerance=3e-5,
+                    max_steps=200,
                 ),
             )
             mf_prob = StokesBEMProblem(mf_mesh, mf_cfg)
@@ -836,6 +846,23 @@ def main():
             mixed_precision_bulk=sw_mixed,
         )
         run_frames(bact_cfg, "bacterium_gait", n_warm=2, n_timed=5)
+
+        # attribution row: the r5 near-contact auto-promotion fires on the
+        # bacterium (head-flagellum vertex gap 1.04 vs local panel diameter
+        # 1.06), adding the adaptive near-pair pass to every frame
+        # (measured 411 vs ~230 ms/frame).  This row isolates that cost —
+        # it is the r4-comparable configuration (promotion disabled).
+        import dataclasses as _dc2
+        from bemstokes_tpu.config import QuadratureConfig as _QC
+
+        run_frames(
+            _dc2.replace(
+                bact_cfg, quadrature=_QC(auto_promote=False)
+            ),
+            "bacterium_gait_nopromo",
+            n_warm=2,
+            n_timed=5,
+        )
 
         # free-surface swimmer: sphere-translation gait under the
         # free-surface image kernel (wall 0 = image plane only), Heun
