@@ -233,6 +233,13 @@ class ProblemConfig:
     # fused Pallas kernel, keep near/singular corrections + solve in f64
     # (ops.assemble.AssemblyConfig.mixed_bulk)
     mixed_precision_bulk: bool = False
+    # q-contraction of the Pallas node kernel (AssemblyConfig.pallas_reduce):
+    # "gemm" | "qmajor" | "qmajor_per_v".  Throughput is a wash at the
+    # default order-4 shapes (measured, TUNE_ASSEMBLY_TPU.json), but
+    # "qmajor_per_v" shrinks the accumulator scoped-VMEM 16x, which is what
+    # lets HIGH-ORDER kernels (e.g. a uniform order-6 rule, nq=36) compile
+    # at all — the gemm-mode planes overflow scoped VMEM there
+    pallas_reduce: str = "gemm" 
     # curved geometry: snap high-order mapping nodes onto an analytic body
     # manifold (none|sphere|spheroid|cylinder) — required to reach the 1e-6
     # sphere-drag validation target with map_degree >= 2

@@ -173,6 +173,7 @@ class StokesBEMProblem:
             cell_chunk=self.cfg.cell_chunk,
             dtype=_dtype_of(self.cfg),
             mixed_bulk=self.cfg.mixed_precision_bulk,
+            pallas_reduce=self.cfg.pallas_reduce,
             backend=getattr(self.cfg, "assembly_backend", "jax"),
             column_mode=(
                 "node"
