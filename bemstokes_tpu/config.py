@@ -59,7 +59,11 @@ class QuadratureConfig:
     # scheme with the near-pair order raised by `promote_boost` (the smooth
     # rule stops converging on quasi-singular near pairs; see
     # mesh/proximity.py and tests/test_near_contact.py).  Only acts when
-    # `order_far` is None (an explicit adaptive config wins).
+    # `order_far` is None (an explicit adaptive config wins).  NOTE: the
+    # decision is made ONCE from the construction-time mesh geometry; a
+    # trajectory whose gait/drift closes a gap mid-run keeps its original
+    # quadrature (re-construct the problem per regime, or set order_far
+    # explicitly, for near-contact that develops over time).
     auto_promote: bool = True
     promote_boost: int = 4
 

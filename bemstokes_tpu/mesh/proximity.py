@@ -54,12 +54,18 @@ def cell_components(cells: np.ndarray, n_vertices: int) -> np.ndarray:
     return labels
 
 
-def min_intercomponent_gap(mesh, chunk: int = 2048):
+def min_intercomponent_gap(mesh):
     """Smallest vertex-to-vertex distance between DISTINCT connected
     components, with the larger local panel diameter adjacent to that
     closest pair.  Returns (gap, local_diam) or None when the mesh has one
     component.  (Vertex distance is a tight panel-diameter-scale gap
-    estimate — exactly the resolution the quadrature grading needs.)"""
+    estimate — exactly the resolution the quadrature grading needs.)
+
+    O(N log N) via per-component KD-trees (this runs at every problem
+    construction; the naive pairwise sweep allocated GB-scale temporaries
+    past ~20k vertices)."""
+    from scipy.spatial import cKDTree
+
     cells = np.asarray(mesh.cells)
     V = np.asarray(mesh.vertices)
     labels = cell_components(cells, len(V))
@@ -68,18 +74,22 @@ def min_intercomponent_gap(mesh, chunk: int = 2048):
     # vertex labels: a vertex takes the label of any containing cell
     vlab = np.full(len(V), -1, dtype=np.int64)
     vlab[cells.ravel()] = np.repeat(labels, cells.shape[1])
-    used = vlab >= 0
-    Vu = V[used]
-    lu = vlab[used]
-    idx_u = np.nonzero(used)[0]
+    comp_ids = np.unique(labels)
+    groups = {c: np.nonzero(vlab == c)[0] for c in comp_ids}
+    trees = {c: cKDTree(V[idx]) for c, idx in groups.items()}
     best = (np.inf, -1, -1)
-    for s in range(0, len(Vu), chunk):
-        e = min(s + chunk, len(Vu))
-        d = np.linalg.norm(Vu[s:e, None, :] - Vu[None, :, :], axis=-1)
-        d = np.where(lu[s:e, None] != lu[None, :], d, np.inf)
-        k = np.unravel_index(np.argmin(d), d.shape)
-        if d[k] < best[0]:
-            best = (float(d[k]), idx_u[s + k[0]], idx_u[k[1]])
+    for a in comp_ids:
+        for b in comp_ids:
+            if b <= a:
+                continue
+            d, j = trees[b].query(V[groups[a]], k=1)
+            k = int(np.argmin(d))
+            if d[k] < best[0]:
+                best = (
+                    float(d[k]),
+                    int(groups[a][k]),
+                    int(groups[b][int(j[k])]),
+                )
     if not np.isfinite(best[0]):
         return None
     diam = cell_diameters(V, cells)

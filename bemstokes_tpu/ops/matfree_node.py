@@ -77,17 +77,23 @@ def sweep_static(tables: AssemblyTables, nr, backend=None) -> SweepStatic:
     cfg = tables.cfg
     d = cfg.dim
     dt = cfg.dtype
+    is_f64 = jnp.dtype(dt) == jnp.float64
     if backend is None:
         plat = jax.devices()[0].platform
-        backend = "pallas" if (plat == "tpu" and d == 3) else "xla"
-    bulk_dt = (
-        jnp.float32
-        if (cfg.mixed_bulk and jnp.dtype(dt) == jnp.float64)
-        else dt
-    )
+        # f64 WITHOUT mixed_bulk keeps the (slow, emulated-f64) XLA sweep:
+        # the Pallas kernel is f32-only, and silently downgrading a
+        # requested-f64 operator to f32 would make GMRES stagnate against
+        # an f64 tolerance.  Opting into mixed_bulk states the f32-bulk
+        # trade explicitly (same contract as the materialized path).
+        use_pallas = plat == "tpu" and d == 3 and (not is_f64 or cfg.mixed_bulk)
+        backend = "pallas" if use_pallas else "xla"
+    bulk_dt = jnp.float32 if (cfg.mixed_bulk and is_f64) else dt
     if backend == "pallas" and jnp.dtype(bulk_dt) == jnp.float64:
-        # no f64 on the TPU VPU; mixed runs fold the f32 bulk under f64 COO
-        bulk_dt = jnp.float32
+        raise ValueError(
+            "the Pallas fused-matvec sweep is f32-only: an f64 matrix-free "
+            "run on TPU needs mixed_precision_bulk=True (f32 bulk under "
+            "f64 corrections) or matfree_backend='xla'"
+        )
     nq = len(tables.q_weights)
     vmax = tables.inc_slot.shape[1]
     if backend in ("pallas", "pallas_interpret"):

@@ -707,6 +707,11 @@ class StokesBEMProblem:
         written into the working directory)."""
         import os
 
+        if ops.get("V") is None:
+            raise ValueError(
+                "print_matrices needs the assembled V/K operators; run "
+                "with cfg.keep_operators=True"
+            )
         np.savetxt(os.path.join(out_dir, "monolithic_matrix.txt"), np.asarray(A))
         np.savetxt(os.path.join(out_dir, "V_matrix.txt"), np.asarray(ops["V"]))
         np.savetxt(os.path.join(out_dir, "K_matrix.txt"), np.asarray(ops["K"]))
@@ -782,7 +787,8 @@ class StokesBEMProblem:
                 # true residual: above LU_BLOCKED_THRESHOLD the blocked
                 # factorization pivots block-locally, so accuracy loss must
                 # not be silent — report ||Ax - b|| like the GMRES paths
-                res_dev = jnp.linalg.norm(A @ x - rhs)
+                # (through the split GEMV at f64 scale, like every other dot)
+                res_dev = jnp.linalg.norm(self._big_gemv(A)(x) - rhs)
             else:
                 ptype = cfg.solver.preconditioner_type
                 if ptype == "Direct":
